@@ -1,0 +1,244 @@
+"""Deterministic synthetic fixtures for the entity-resolution pipeline.
+
+Generates (seeded, no wall-clock, no external data) the input shape mandated
+by BASELINE.json input_hint:
+
+    documents(doc_id string,
+              spans array<struct<kind string, text string,
+                                 media_ref string, offset int>>)
+
+plus the entity-side tables the reference keeps as LMDB/memmap lookups
+(SURVEY.md §1.2) re-expressed as relational tables:
+
+    pem(surface_form, candidates array<struct<qcode,prior>>)    # P(e|m)
+    entity_meta(qcode, label, description, is_human)
+    entity_embeddings(qcode, emb array<float>)
+    human_qcodes(qcode)
+    gold_mentions(doc_id, mention_id, surface, offset, gold_qcode, block_key)
+
+The corpus deliberately contains:
+  - full-name + later-surname mention pairs (exercises person-coref J4,
+    reference: candidate_generator.py:55-92),
+  - "the X" / accented / possessive surface variants (exercises F1
+    normalization, reference: loaders.py:137-148),
+  - ambiguous surnames shared by 2+ entities (scoring must discriminate),
+  - one HOT alias appearing in ~20% of docs (exercises skew/salting),
+  - ~10% kind='media' spans interleaved (must survive byte-identically).
+
+Embeddings are deterministic hashed bag-of-words projections (see
+`hash_embed`); mention context embeddings use the same featurizer over the
+doc's text, so engine and oracle agree exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import random
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from refined_spark.functions.normalize import normalize_surface_py
+
+EMB_DIM = 64
+
+FIRST = ["Donald", "Angela", "Boris", "Emmanuel", "Jacinda", "Justin", "Pedro",
+         "Olaf", "Rishi", "Giorgia", "Fumio", "Luiz", "Cyril", "Sanna", "Mette"]
+LAST = ["Trump", "Merkel", "Johnson", "Macron", "Ardern", "Trudeau", "Sanchez",
+        "Scholz", "Sunak", "Meloni", "Kishida", "Lula", "Ramaphosa", "Marin",
+        "Frederiksen", "Müller", "García", "Øst"]
+ORG = ["England", "Paris FC", "Acme Corp", "United Nations", "Berlin",
+       "Rio Grande", "Nile Delta", "Andes Group", "Sahara Fund", "Baltic Union"]
+FILLER = ("market shares rose on strong earnings while analysts expected a "
+          "slower quarter amid new policy announcements from the central bank "
+          "and a series of regional summits").split()
+
+
+def hash_embed(text: str, dim: int = EMB_DIM) -> list[float]:
+    """Deterministic hashed bag-of-words embedding, L2-normalized.
+    Each token contributes +/-1 to dim buckets chosen by md5."""
+    v = np.zeros(dim, dtype=np.float64)
+    for tok in text.lower().split():
+        h = hashlib.md5(tok.encode("utf-8")).digest()
+        idx = int.from_bytes(h[:4], "big") % dim
+        sign = 1.0 if h[4] % 2 == 0 else -1.0
+        v[idx] += sign
+        idx2 = int.from_bytes(h[5:9], "big") % dim
+        v[idx2] += 0.5 * (1.0 if h[9] % 2 == 0 else -1.0)
+    n = np.linalg.norm(v)
+    if n > 0:
+        v /= n
+    return [float(x) for x in v]
+
+
+def build_entities(n_entities: int, rng: random.Random):
+    """Entities: ~70% persons (first+last), rest orgs/places. Surnames are
+    reused across persons to create ambiguity."""
+    entities = []
+    for i in range(n_entities):
+        qcode = f"Q{i + 1}"
+        if i % 10 < 7:
+            first = FIRST[i % len(FIRST)]
+            last = LAST[(i * 7 + i // len(FIRST)) % len(LAST)]
+            label = f"{first} {last}"
+            desc = f"{label} politician from district {i}"
+            kind = "human"
+        else:
+            label = ORG[i % len(ORG)] + ("" if i < len(ORG) else f" {i}")
+            desc = f"{label} organization sector {i}"
+            kind = "org"
+        entities.append({"qcode": qcode, "label": label, "description": desc,
+                         "is_human": kind == "human", "popularity": rng.random()})
+    # make one org the HOT entity with a very popular alias
+    for e in entities:
+        if not e["is_human"]:
+            e["popularity"] = max(e["popularity"], 0.5)
+    hot = next(e for e in entities if not e["is_human"])
+    hot["popularity"] = 10.0
+    return entities, hot
+
+
+def surface_variants(e: dict) -> list[tuple[str, float]]:
+    """(raw surface, relative link weight) pairs per entity."""
+    label = e["label"]
+    out = [(label, 6.0)]
+    if e["is_human"]:
+        last = label.split()[-1]
+        out.append((last, 2.0))
+        out.append((label + "'s", 1.0))
+        out.append((label.upper(), 0.5))
+    else:
+        out.append(("the " + label, 2.0))
+        out.append((label + "'s", 1.0))
+    return out
+
+
+def build_pem(entities: list[dict], max_candidates: int = 30):
+    """Aggregate link weights per (normalized surface, qcode) -> priors.
+    Mirrors generate_pem.py:160-164 semantics: prior = count / sum per
+    surface, candidates sorted desc by prior (ties by qcode for determinism),
+    truncated to max_candidates."""
+    counts: dict[str, dict[str, float]] = {}
+    for e in entities:
+        for raw, w in surface_variants(e):
+            sf = normalize_surface_py(raw)
+            if not sf:
+                continue
+            counts.setdefault(sf, {}).setdefault(e["qcode"], 0.0)
+            counts[sf][e["qcode"]] += w * (1.0 + e["popularity"])
+    pem = {}
+    for sf, m in counts.items():
+        tot = sum(m.values())
+        cands = sorted(
+            ((q, c / tot) for q, c in m.items()),
+            key=lambda x: (-x[1], int(x[0][1:])),
+        )[:max_candidates]
+        pem[sf] = cands
+    return pem
+
+
+def _media_ref(rng: random.Random) -> str:
+    return "img://" + hashlib.md5(str(rng.random()).encode()).hexdigest()[:12]
+
+
+def generate(out_dir: str, n_docs: int = 200, n_entities: int = 50,
+             seed: int = 42, emb_dim: int = EMB_DIM) -> dict[str, str]:
+    """Write all fixture tables as parquet under out_dir; returns paths."""
+    rng = random.Random(seed)
+    entities, hot = build_entities(n_entities, rng)
+    pem = build_pem(entities)
+    ent_by_q = {e["qcode"]: e for e in entities}
+
+    docs_rows = []
+    gold_rows = []
+    for d in range(n_docs):
+        doc_id = f"doc-{d:06d}"
+        spans = []
+        offset = 0
+
+        def push(kind, text, media_ref=""):
+            nonlocal offset
+            spans.append({"kind": kind, "text": text,
+                          "media_ref": media_ref, "offset": offset})
+            offset += max(len(text), 1) + 1
+
+        # choose 2-4 entities for this doc; hot entity in ~20% of docs
+        k = rng.randint(2, 4)
+        doc_ents = rng.sample(entities, k)
+        if rng.random() < 0.2 and hot not in doc_ents:
+            doc_ents[0] = hot
+
+        n_spans = rng.randint(6, 18)
+        mention_plan = []
+        for e in doc_ents:
+            variants = surface_variants(e)
+            raw = variants[rng.randrange(len(variants))][0]
+            mention_plan.append((e, raw))
+            # persons: add a later surname-only mention half the time (coref)
+            if e["is_human"] and rng.random() < 0.5:
+                mention_plan.append((e, e["label"].split()[-1]))
+        rng.shuffle(mention_plan)
+        # keep full-name before surname per entity (forward coref shape);
+        # backward_coref semantics make order irrelevant, but keep realistic
+        mi = 0
+        for s in range(n_spans):
+            r = rng.random()
+            if mi < len(mention_plan) and (r < 0.45 or (n_spans - s) <= (len(mention_plan) - mi)):
+                e, raw = mention_plan[mi]
+                mi += 1
+                push("text", raw)
+                gold_rows.append({
+                    "doc_id": doc_id,
+                    "mention_id": f"{doc_id}#{spans[-1]['offset']}",
+                    "surface": raw,
+                    "offset": spans[-1]["offset"],
+                    "gold_qcode": e["qcode"],
+                    "block_key": normalize_surface_py(raw),
+                })
+            elif r < 0.55:
+                push("media", "", _media_ref(rng))
+            else:
+                t = " ".join(rng.choices(FILLER, k=rng.randint(3, 8)))
+                push("text", t)
+        docs_rows.append({"doc_id": doc_id, "spans": spans})
+
+    os.makedirs(out_dir, exist_ok=True)
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()), ("offset", pa.int32())])
+    docs_tbl = pa.Table.from_pylist(docs_rows, schema=pa.schema(
+        [("doc_id", pa.string()), ("spans", pa.list_(span_t))]))
+    pq.write_table(docs_tbl, f"{out_dir}/documents.parquet")
+
+    cand_t = pa.struct([("qcode", pa.string()), ("prior", pa.float64())])
+    pem_rows = [{"surface_form": sf,
+                 "candidates": [{"qcode": q, "prior": p} for q, p in cands]}
+                for sf, cands in sorted(pem.items())]
+    pq.write_table(
+        pa.Table.from_pylist(pem_rows, schema=pa.schema(
+            [("surface_form", pa.string()), ("candidates", pa.list_(cand_t))])),
+        f"{out_dir}/pem.parquet")
+
+    meta_rows = [{"qcode": e["qcode"], "label": e["label"],
+                  "description": e["description"], "is_human": e["is_human"]}
+                 for e in entities]
+    pq.write_table(pa.Table.from_pylist(meta_rows), f"{out_dir}/entity_meta.parquet")
+
+    emb_rows = [{"qcode": e["qcode"],
+                 "emb": hash_embed(e["label"] + " " + e["description"], emb_dim)}
+                for e in entities]
+    pq.write_table(
+        pa.Table.from_pylist(emb_rows, schema=pa.schema(
+            [("qcode", pa.string()), ("emb", pa.list_(pa.float32()))])),
+        f"{out_dir}/entity_embeddings.parquet")
+
+    pq.write_table(
+        pa.Table.from_pylist([{"qcode": e["qcode"]} for e in entities if e["is_human"]]),
+        f"{out_dir}/human_qcodes.parquet")
+
+    pq.write_table(pa.Table.from_pylist(gold_rows), f"{out_dir}/gold_mentions.parquet")
+
+    return {name: f"{out_dir}/{name}.parquet"
+            for name in ["documents", "pem", "entity_meta", "entity_embeddings",
+                         "human_qcodes", "gold_mentions"]}

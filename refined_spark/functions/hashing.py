@@ -1,0 +1,114 @@
+"""Deterministic, cross-engine hashing for blocking / dedup (MinHash, SimHash).
+
+Everything here is reproducible in ANSI SQL (DuckDB oracle) because the base
+hash is md5-hex -> first 15 hex chars -> bigint, identical in Spark
+(`conv(substr(md5(x),1,15),16,10)`) and DuckDB
+(`('0x'||substr(md5(x),1,15))::BIGINT`). 15 hex chars < 2^60, so the value is
+positive and exact in both engines. MinHash permutations are the standard
+(a*h + b) mod p family with hardcoded seeded coefficients — no wall-clock, no
+unseeded rand anywhere (SURVEY.md §7.4.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MERSENNE_P = (1 << 61) - 1
+_SEED = 0x5EED_C0DE
+
+
+def _lcg(state: int) -> int:
+    return (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+
+
+def minhash_coeffs(num_hashes: int, seed: int = _SEED) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs; a != 0 mod p."""
+    out = []
+    s = seed
+    while len(out) < num_hashes:
+        s = _lcg(s)
+        a = s % MERSENNE_P
+        s = _lcg(s)
+        b = s % MERSENNE_P
+        if a == 0:
+            continue
+        out.append((a, b))
+    return out
+
+
+def md5_hash64_col(c: Column) -> Column:
+    """64-bit-ish (60-bit) deterministic hash of a string column."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+MD5_HASH64_SQL = "(('0x' || substr(md5({col}), 1, 15))::BIGINT)"
+
+
+def char_shingles_col(c: Column, k: int = 5) -> Column:
+    """All k-char shingles of a string as array<string> (empty-safe).
+    sequence+transform keeps this in codegen; no UDF."""
+    n = F.greatest(F.length(c) - F.lit(k - 1), F.lit(0))
+    return F.when(n <= 0, F.array(F.substring(c, 1, k))).otherwise(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(c, i, F.lit(k)))
+    )
+
+
+def token_shingles_col(c: Column, k: int = 3) -> Column:
+    """Word k-shingles: split on whitespace, join k-grams with single spaces."""
+    toks = F.split(F.trim(c), r"\s+")
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    return F.when(n <= 0, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        )
+    )
+
+
+def minhash_sig_col(shingles: Column, num_hashes: int = 32, seed: int = _SEED) -> Column:
+    """MinHash signature: array<long> of length num_hashes, computed with
+    builtin higher-order functions (transform + array_min) — fully JVM-side,
+    one md5 per shingle reused across all permutations.
+
+    hash_i(s) = (a_i * h(s) + b_i) mod p,  h = md5-60bit.
+    """
+    base = F.transform(shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("decimal(38,0)"))
+    sig = []
+    for a, b in minhash_coeffs(num_hashes, seed):
+        sig.append(
+            F.array_min(
+                F.transform(base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P))
+            ).cast("long")
+        )
+    return F.array(*sig)
+
+
+def minhash_sig_sql(shingles_sql: str, num_hashes: int = 32, seed: int = _SEED) -> str:
+    """DuckDB twin of minhash_sig_col over a list<varchar> SQL expression."""
+    base = (
+        f"list_transform({shingles_sql}, s -> ('0x' || substr(md5(s),1,15))::HUGEINT)"
+    )
+    parts = []
+    for a, b in minhash_coeffs(num_hashes, seed):
+        parts.append(
+            f"CAST(list_min(list_transform({base}, h -> (h * {a}::HUGEINT + {b}::HUGEINT) % {MERSENNE_P}::HUGEINT)) AS BIGINT)"
+        )
+    return "[" + ", ".join(parts) + "]"
+
+
+def simhash64_py(tokens: list[str]) -> int:
+    """64-bit SimHash over a token list (pure-Python kernel for the pandas
+    UDF and the in-test oracle). Uses md5-based 60-bit hashes for parity."""
+    import hashlib
+
+    acc = [0] * 60
+    for t in tokens:
+        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+        for bit in range(60):
+            acc[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(60):
+        if acc[bit] > 0:
+            out |= 1 << bit
+    return out

@@ -1,0 +1,85 @@
+"""Person-name coreference candidate propagation (operator J4).
+
+Reference semantics (/root/reference/src/refined/doc_preprocessing/
+candidate_generator.py:55-92 with backward_coref=True two-pass,
+doc_types.py:89-92): within a document, multi-token person mentions donate
+their human candidates (prior floor 0.05, donated prior capped at 0.80) to
+single-token mentions matching one of their name tokens; donations merge
+with direct candidates keeping the best prior per qcode. The two-pass
+(backward) variant is order-free, which is exactly what makes it a JOIN:
+
+    donors:    candidates c of mention m, tokens(m.block_key) >= 2,
+               c.qcode ∈ human_qcodes, c.prior > 0.05
+               -> explode name tokens -> (doc_id, token, qcode, min(prior, 0.8))
+               -> groupBy max prior
+    receivers: mentions with single-token block_key
+               join donors on (doc_id, token = block_key)
+    merge:     union direct ∪ donated, groupBy (mention, qcode) max(prior)
+
+Both the donor aggregation and the final merge shuffle on doc_id-prefixed
+keys, so skew follows document size, not entity popularity — no salting
+needed here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from refined_spark.config import COREF_CAP, COREF_FLOOR
+
+
+def propagate_person_coref(
+    candidates: DataFrame, human_qcodes: DataFrame
+) -> DataFrame:
+    """candidates: (doc_id, mention_id, block_key, offset, qcode, prior)
+    one row per candidate (qcode may be null for dictionary misses).
+    Returns the same shape with donations merged in."""
+    toks = F.split(F.col("block_key"), " ")
+
+    donors = (
+        candidates.where(F.col("qcode").isNotNull())
+        .where(F.size(toks) >= 2)
+        .where(F.col("prior") > COREF_FLOOR)
+        .join(F.broadcast(human_qcodes), "qcode", "left_semi")
+        .select(
+            F.col("doc_id").alias("d_doc_id"),
+            F.explode(F.split("block_key", " ")).alias("d_token"),
+            F.col("qcode").alias("d_qcode"),
+            F.least(F.col("prior"), F.lit(COREF_CAP)).alias("d_prior"),
+        )
+        .groupBy("d_doc_id", "d_token", "d_qcode")
+        .agg(F.max("d_prior").alias("d_prior"))
+    )
+
+    receivers = candidates.where(F.size(toks) == 1).select(
+        "doc_id", "mention_id", "block_key", "offset"
+    ).distinct()
+
+    donated = receivers.join(
+        donors,
+        (receivers["doc_id"] == donors["d_doc_id"])
+        & (receivers["block_key"] == donors["d_token"]),
+    ).select(
+        "doc_id",
+        "mention_id",
+        "block_key",
+        "offset",
+        F.col("d_qcode").alias("qcode"),
+        F.col("d_prior").alias("prior"),
+    )
+
+    merged = (
+        candidates.select("doc_id", "mention_id", "block_key", "offset", "qcode", "prior")
+        .unionByName(donated)
+        .groupBy("doc_id", "mention_id", "block_key", "offset", "qcode")
+        .agg(F.max("prior").alias("prior"))
+    )
+    # a mention that HAD no direct candidates but received donations keeps a
+    # spurious null row; drop null-qcode rows when the mention has any
+    # non-null candidate (window-free: anti-join trick)
+    with_cand = merged.where(F.col("qcode").isNotNull())
+    nulls = merged.where(F.col("qcode").isNull()).join(
+        with_cand.select("mention_id").distinct(), "mention_id", "left_anti"
+    )
+    return with_cand.unionByName(nulls)

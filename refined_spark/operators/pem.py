@@ -1,0 +1,126 @@
+"""P(e|m) alias-dictionary operators: the build (A1/A2/A3) and the blocking
+join (J1), with explicit skew handling for web scale.
+
+Reference: the PEM table is built by counting (surface, entity) link
+evidence and normalizing to priors per surface
+(/root/reference/src/refined/offline_data_generation/generate_pem.py:46-170),
+then probed as an O(1) dict at inference
+(/root/reference/src/refined/doc_preprocessing/candidate_generator.py:62-72).
+Distributed, the probe is an equi-join on the normalized surface form; hot
+aliases ("england") make that join skew, so the dimension side is small
+enough to broadcast at dictionary scales (~18M rows ~ a few GB -> broadcast
+per-executor once) and, when it is not, `candidate_join_salted` replicates
+the hot keys S ways (SURVEY.md §4(a)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from refined_spark.config import MAX_CANDIDATES
+
+
+def build_pem(link_evidence: DataFrame, max_candidates: int = MAX_CANDIDATES) -> DataFrame:
+    """A1 + A2 + A3. Input: link_evidence(surface_form, qcode, cnt) — the
+    union of evidence sources (labels, aliases, hyperlinks, titles,
+    redirects), already normalized. Output:
+    pem(surface_form, candidates array<struct<qcode,prior>> sorted desc,
+    len <= max_candidates, priors sum to 1 before truncation.
+
+    Plan shape: one partial+final hash aggregate, one window-free
+    normalization via a second aggregate (no shuffle beyond the groupBy —
+    the sum-per-surface reuses the same partitioning), then a JVM-side
+    sort/slice on the collected array. No Python.
+    """
+    counts = link_evidence.groupBy("surface_form", "qcode").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    # groupBy(surface_form) reuses the hash-partitioning Catalyst already
+    # produced for the previous agg -> no extra shuffle (verified via explain).
+    return (
+        counts.groupBy("surface_form")
+        .agg(
+            F.sum("cnt").alias("total"),
+            F.collect_list(F.struct("qcode", "cnt")).alias("cands"),
+        )
+        .select(
+            "surface_form",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.col("cands"),
+                        lambda c: F.struct(
+                            (-c["cnt"] / F.col("total")).alias("neg_prior"),
+                            F.regexp_replace(c["qcode"], "^Q", "").cast("long").alias("qnum"),
+                            c["qcode"].alias("qcode"),
+                        ),
+                    )
+                ),
+                1,
+                max_candidates,
+            ).alias("sorted_cands"),
+        )
+        .select(
+            "surface_form",
+            F.transform(
+                F.col("sorted_cands"),
+                lambda c: F.struct(
+                    c["qcode"].alias("qcode"), (-c["neg_prior"]).alias("prior")
+                ),
+            ).alias("candidates"),
+        )
+    )
+
+
+def pem_flat(pem: DataFrame) -> DataFrame:
+    """pem -> (surface_form, qcode, prior, rank) long format."""
+    return pem.select(
+        "surface_form", F.posexplode("candidates").alias("pos", "c")
+    ).select(
+        "surface_form",
+        F.col("c.qcode").alias("qcode"),
+        F.col("c.prior").alias("prior"),
+        (F.col("pos") + 1).alias("rank"),
+    )
+
+
+def candidate_join(mentions: DataFrame, pem: DataFrame) -> DataFrame:
+    """J1 — the blocking join. mentions must carry `block_key` (normalized
+    surface). Returns one row per (mention, candidate):
+    (doc_id, mention_id, block_key, offset, qcode, prior).
+
+    The dictionary side is broadcast: at reference scale (~18M surfaces,
+    top-30 candidates) the flat dictionary is a few GB — on a real cluster
+    either broadcast (fits executor memory) or leave to AQE: mention-side
+    skew on hot aliases is harmless under broadcast because NO shuffle of
+    the fact side happens at all. Mentions with no dictionary hit are kept
+    (left join) with null qcode — they become NIL downstream, matching the
+    reference's empty-candidate path."""
+    flat = pem_flat(pem)
+    return mentions.join(
+        F.broadcast(flat),
+        mentions["block_key"] == flat["surface_form"],
+        "left",
+    ).drop("surface_form")
+
+
+def candidate_join_salted(
+    mentions: DataFrame, pem: DataFrame, salt: int = 8
+) -> DataFrame:
+    """J1 at shuffle scale: explicit key salting for when the dictionary is
+    too large to broadcast. The fact side appends pmod(hash(mention_id), S)
+    to the key; the dimension side is replicated S ways via explode. Same
+    output contract as candidate_join."""
+    flat = pem_flat(pem).withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    m = mentions.withColumn(
+        "salt", F.pmod(F.xxhash64("mention_id"), F.lit(salt)).cast("int")
+    )
+    out = m.join(
+        flat,
+        (m["block_key"] == flat["surface_form"]) & (m["salt"] == flat["salt"]),
+        "left",
+    )
+    return out.drop("surface_form").drop(flat["salt"]).drop(m["salt"])

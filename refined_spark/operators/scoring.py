@@ -1,0 +1,121 @@
+"""Pairwise mention-candidate scoring + resolution (operators C2/C4/C5/P7).
+
+Replaces the reference's ED layer (/root/reference/src/refined/
+model_components/entity_disambiguation_layer.py:36-119 and ed_layer_2.py:
+61-132) with the north rule's classical features:
+
+    score = W_PRIOR * prior
+          + W_JW    * jaro_winkler(block_key, normalized entity label)
+          + W_COS   * max(cosine(mention_context_emb, entity_emb), 0)
+
+- The entity side arrives via one hash join to entity_meta/entity_embeddings
+  (J8 — the distributed analog of the reference's memmap row gather,
+  data_lookups.py:37-42).
+- jaro_winkler is an Arrow pandas UDF (functions/similarity.py).
+- cosine stays JVM-side (zip_with/aggregate fold) so engine and oracle
+  accumulate in the same order.
+- mention context embedding: deterministic hashed bag-of-words of the doc
+  text, computed once per doc in an Arrow pandas UDF, then joined (never
+  recomputed per candidate).
+- Resolution (C5 + P7): argmax via max_by over a tie-broken sort key; NIL
+  when best score < ED_THRESHOLD — the variable-length-array equivalent of
+  the reference's pad-to-30 + (-1e8 mask) + 0-logit NOTA
+  (SURVEY.md §7.4.4).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType
+
+from refined_spark.config import ED_THRESHOLD, W_COS, W_JW, W_PRIOR
+from refined_spark.fixtures import hash_embed
+from refined_spark.functions.normalize import normalize_surface_col
+from refined_spark.functions.similarity import dot_col, jaro_winkler_udf, l2_norm_col
+
+
+@pandas_udf(ArrayType(DoubleType()))
+def doc_embed_udf(text: pd.Series) -> pd.Series:
+    """Arrow-batched doc-context featurizer (the engine's stand-in for the
+    reference's transformer mention encoding, refined_model.py:345-380)."""
+    return text.map(lambda t: hash_embed(t if t is not None else ""))
+
+
+def mention_context_embeddings(doc_text_df: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, ctx_emb array<double>)."""
+    return doc_text_df.select(
+        "doc_id", doc_embed_udf(F.col("text")).alias("ctx_emb")
+    )
+
+
+def score_candidates(
+    candidates: DataFrame,
+    entity_meta: DataFrame,
+    entity_embeddings: DataFrame,
+    ctx_emb: DataFrame,
+) -> DataFrame:
+    """candidates(doc_id, mention_id, block_key, offset, qcode, prior) ->
+    + (jw, cos, score). Null-qcode rows (dictionary misses) score null and
+    resolve to NIL downstream."""
+    meta = entity_meta.select(
+        "qcode", normalize_surface_col(F.col("label")).alias("norm_label")
+    )
+    emb = entity_embeddings.select("qcode", F.col("emb").cast("array<double>").alias("ent_emb"))
+
+    scored = (
+        candidates.join(F.broadcast(meta), "qcode", "left")
+        .join(F.broadcast(emb), "qcode", "left")
+        .join(ctx_emb, "doc_id", "left")
+    )
+    cos_raw = dot_col(F.col("ctx_emb"), F.col("ent_emb")) / (
+        l2_norm_col(F.col("ctx_emb")) * l2_norm_col(F.col("ent_emb"))
+    )
+    cos = F.when(
+        F.col("ent_emb").isNull()
+        | (l2_norm_col(F.col("ent_emb")) == 0)
+        | (l2_norm_col(F.col("ctx_emb")) == 0),
+        F.lit(0.0),
+    ).otherwise(cos_raw)
+    jw = F.when(F.col("qcode").isNull(), F.lit(None)).otherwise(
+        jaro_winkler_udf(F.col("block_key"), F.coalesce(F.col("norm_label"), F.lit("")))
+    )
+    return (
+        scored.withColumn("jw", jw)
+        .withColumn("cos", cos)
+        .withColumn(
+            "score",
+            F.when(F.col("qcode").isNull(), F.lit(None)).otherwise(
+                F.lit(W_PRIOR) * F.col("prior")
+                + F.lit(W_JW) * F.col("jw")
+                + F.lit(W_COS) * F.greatest(F.col("cos"), F.lit(0.0))
+            ),
+        )
+        .drop("norm_label", "ent_emb", "ctx_emb")
+    )
+
+
+def resolve(scored: DataFrame, threshold: float = ED_THRESHOLD) -> DataFrame:
+    """C5 argmax + P7 threshold. One hash aggregate per mention; ties break
+    toward the smaller numeric qcode (same as the oracle). Returns
+    (doc_id, mention_id, block_key, offset, qcode, score) with qcode null
+    for NIL mentions."""
+    qnum = F.regexp_replace("qcode", "^Q", "").cast("long")
+    # max_by over a struct orders by score, then -qnum (so smaller qcode wins ties)
+    pick = F.max_by(
+        F.struct(F.col("qcode"), F.col("score")),
+        F.struct(F.col("score").alias("s"), (-qnum).alias("nq")),
+    )
+    out = scored.groupBy("doc_id", "mention_id", "block_key", "offset").agg(
+        pick.alias("best")
+    )
+    return out.select(
+        "doc_id",
+        "mention_id",
+        "block_key",
+        "offset",
+        F.when(F.col("best.score") >= threshold, F.col("best.qcode")).alias("qcode"),
+        F.col("best.score").alias("score"),
+    )
