@@ -35,10 +35,14 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """For each u: m = min(neighbors ∪ {u}); emit (v, m) for v > u."""
-    nbrs = edges.groupBy("src").agg(
-        F.least(F.min("dst"), F.col("src")).alias("m"),
-        F.collect_set("dst").alias("ns"),
+    """Large-star over the UNDIRECTED graph: symmetrize, then for each u
+    with neighborhood Γ(u): m = min(Γ(u) ∪ {u}); emit (v, m) for every
+    strictly larger neighbor v > u. Keeps high-degree hubs shallow."""
+    nbrs = (
+        _symmetrize(edges)
+        .groupBy("src")
+        .agg(F.min("dst").alias("mn"), F.collect_set("dst").alias("ns"))
+        .select("src", F.least(F.col("mn"), F.col("src")).alias("m"), "ns")
     )
     return (
         nbrs.select("src", "m", F.explode("ns").alias("v"))
@@ -49,11 +53,12 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """Orient edges toward the smaller endpoint, then for each u link all
-    its (smaller-or-equal) neighbors and u itself to the minimum."""
+    """Small-star: orient each edge toward its smaller endpoint; for each u
+    with smaller-neighborhood Γ⁻(u): m = min(Γ⁻(u)); emit (v, m) for
+    v ∈ Γ⁻(u) ∪ {u}, v ≠ m."""
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-    )
+    ).where(F.col("src") != F.col("dst")).distinct()
     nbrs = oriented.groupBy("src").agg(
         F.min("dst").alias("m"), F.collect_set("dst").alias("ns")
     )
@@ -65,17 +70,26 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_rounds: int = 20
+    edges: DataFrame, max_rounds: int = 30
 ) -> DataFrame:
     """edges(src long, dst long) -> (node long, component long) where
     component is the minimum node id of the component. Isolated nodes do not
-    appear (callers union them back with component = own id)."""
-    cur = _symmetrize(edges).localCheckpoint(eager=True)
+    appear (callers union them back with component = own id).
+
+    Each round is checkpointed (localCheckpoint locally; swap for reliable
+    checkpoint/Iceberg snapshot on a cluster) — this bounds lineage AND works
+    around a Spark 4.1 AttributeMap bug when checkpointing plans that union
+    a frame with a derivation of itself."""
+    cur = (
+        _symmetrize(edges)
+        .select(F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_rounds):
-        after_large = _large_star(cur)
-        after_small = _small_star(after_large.unionByName(cur).distinct())
-        after_small = after_small.localCheckpoint(eager=True)
-        # converged when the star-edge set is stable (all edges point to roots)
+        after_large = _large_star(cur).localCheckpoint(eager=True)
+        after_small = _small_star(after_large).localCheckpoint(eager=True)
+        # converged when the edge set is stable (a forest of depth-1 stars)
         delta = (
             after_small.exceptAll(cur).limit(1).count()
             + cur.exceptAll(after_small).limit(1).count()
