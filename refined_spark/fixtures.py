@@ -133,7 +133,7 @@ def build_pem(entities: list[dict], max_candidates: int = 30):
         tot = sum(m.values())
         cands = sorted(
             ((q, c / tot) for q, c in m.items()),
-            key=lambda x: (-x[1], int(x[0][1:])),
+            key=lambda x: (-x[1], x[0]),
         )[:max_candidates]
         pem[sf] = cands
     return pem

@@ -66,33 +66,56 @@ def token_shingles_col(c: Column, k: int = 3) -> Column:
     )
 
 
+MASK60 = (1 << 60) - 1
+
+
+def minhash_base_col(shingles: Column) -> Column:
+    """Per-shingle double hash from ONE md5: h1 = 60 bits (hex 1-15),
+    h2 = 56 bits (hex 16-29). Callers must materialize this in its own
+    select so Catalyst computes it once, not once per permutation."""
+    return F.transform(
+        shingles,
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(F.md5(s), 16, 14), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+
+
+def minhash_sig_from_base_col(base: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature via the standard double-hash family
+    g_i = (h1 + i*h2) & (2^60-1) — branch-free long arithmetic (no int128,
+    no per-permutation md5), exact in both Spark and DuckDB.
+    i*h2 <= 127*2^56 stays under 2^63, so no overflow for num_hashes<=128.
+    min over the multiset equals min over the set, so no array_distinct."""
+    if num_hashes > 128:
+        raise ValueError("num_hashes > 128 would overflow the long domain")
+
+    def g(i: int):
+        return lambda b: (b["h1"] + F.lit(i) * b["h2"]).bitwiseAND(F.lit(MASK60))
+
+    return F.array(
+        *[F.array_min(F.transform(base, g(i))) for i in range(num_hashes)]
+    )
+
+
 def minhash_sig_col(shingles: Column, num_hashes: int = 32, seed: int = _SEED) -> Column:
-    """MinHash signature: array<long> of length num_hashes, computed with
-    builtin higher-order functions (transform + array_min) — fully JVM-side,
-    one md5 per shingle reused across all permutations.
-
-    hash_i(s) = (a_i * h(s) + b_i) mod p,  h = md5-60bit.
-    """
-    base = F.transform(shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("decimal(38,0)"))
-    sig = []
-    for a, b in minhash_coeffs(num_hashes, seed):
-        sig.append(
-            F.array_min(
-                F.transform(base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P))
-            ).cast("long")
-        )
-    return F.array(*sig)
+    """One-shot variant (recomputes the base per permutation — prefer
+    minhash_base_col + minhash_sig_from_base_col across two selects)."""
+    return minhash_sig_from_base_col(minhash_base_col(shingles), num_hashes)
 
 
-def minhash_sig_sql(shingles_sql: str, num_hashes: int = 32, seed: int = _SEED) -> str:
-    """DuckDB twin of minhash_sig_col over a list<varchar> SQL expression."""
+def minhash_sig_sql(shingles_sql: str, num_hashes: int = 32) -> str:
+    """DuckDB twin over a list<varchar> SQL expression."""
     base = (
-        f"list_transform({shingles_sql}, s -> ('0x' || substr(md5(s),1,15))::HUGEINT)"
+        f"list_transform({shingles_sql}, s -> struct_pack("
+        f"h1 := ('0x' || substr(md5(s),1,15))::BIGINT, "
+        f"h2 := ('0x' || substr(md5(s),16,14))::BIGINT))"
     )
     parts = []
-    for a, b in minhash_coeffs(num_hashes, seed):
+    for i in range(num_hashes):
         parts.append(
-            f"CAST(list_min(list_transform({base}, h -> (h * {a}::HUGEINT + {b}::HUGEINT) % {MERSENNE_P}::HUGEINT)) AS BIGINT)"
+            f"list_min(list_transform({base}, b -> (b.h1 + {i} * b.h2) & {MASK60}))"
         )
     return "[" + ", ".join(parts) + "]"
 

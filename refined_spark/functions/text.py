@@ -91,12 +91,13 @@ def fingerprint_col(text: Column, mod: int = 1 << 60) -> Column:
     Cheap, deterministic, and reproducible in DuckDB."""
     toks = tokens_col(text)
     idx = F.sequence(F.lit(0), F.size(toks) - 1)
+    powers = F.array(*[F.lit(31**j).cast("decimal(38,0)") for j in range(8)])
     terms = F.zip_with(
         toks,
         idx,
         lambda t, i: (
             F.conv(F.substring(F.md5(t), 1, 14), 16, 10).cast("decimal(38,0)")
-            * F.pow(F.lit(31.0), (i % 8)).cast("decimal(38,0)")
+            * F.element_at(powers, (i % 8) + 1)
         ),
     )
     total = F.aggregate(terms, F.lit(0).cast("decimal(38,0)"), lambda acc, v: acc + v)

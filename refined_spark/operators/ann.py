@@ -1,0 +1,143 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+  - brute-force cosine top-k: exact baseline. JVM-side dot products
+    (zip_with/aggregate) after a broadcast of the query set; per-item top-k
+    via window rank (Catalyst rewrites rank<=k into a group-limit, no full
+    sort).
+  - LSH-bucketed (random hyperplane signatures): the scale path. Each vector
+    gets a b-bit signature from fixed seeded hyperplanes; candidates share a
+    signature bucket (optionally multi-probe neighboring buckets), then exact
+    cosine re-rank inside buckets. At 10^9+ vectors the bucket join replaces
+    the O(N*Q) scan.
+  - embedding near-dup: all pairs above a cosine threshold within buckets.
+
+Deterministic: hyperplanes derive from the md5-based LCG (functions/hashing),
+never numpy RNG state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from refined_spark.functions.hashing import _lcg
+from refined_spark.functions.similarity import dot_col, l2_norm_col
+
+
+def cosine_topk_bruteforce(
+    vectors: DataFrame, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query: (query_id, vec_id, cos, rank).
+    queries: (query_id, embedding). The query side broadcasts; the corpus
+    scan is embarrassingly parallel; rank<=k is a per-group limit."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
+    )
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("v_emb"))
+    scored = v.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            dot_col(F.col("q_emb"), F.col("v_emb"))
+            / (l2_norm_col(F.col("q_emb")) * l2_norm_col(F.col("v_emb"))),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, bits: int, seed: int = 0xA11CE) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG-driven, unit entries)."""
+    planes = []
+    s = seed
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            s = _lcg(s)
+            row.append(((s >> 16) % 2000 - 1000) / 1000.0 or 0.001)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature_col(emb: Column, planes: list[list[float]]) -> Column:
+    """b-bit random-hyperplane signature as an int column (JVM-side)."""
+    sig = F.lit(0)
+    for i, p in enumerate(planes):
+        d = dot_col(emb, F.array(*[F.lit(float(x)) for x in p]))
+        sig = sig + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig.cast("long")
+
+
+def cosine_topk_lsh(
+    vectors: DataFrame, queries: DataFrame, k: int = 10, bits: int = 8,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+    query_id_col: str = "query_id", dim: int | None = None,
+) -> DataFrame:
+    """IVF/LSH-bucketed ANN: exact re-rank within the query's bucket.
+    Recall < 1 by construction; bits trades recall vs bucket size."""
+    if dim is None:
+        dim = len(vectors.select(emb_col).first()[0])
+    planes = hyperplanes(dim, bits)
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("v_emb"),
+        lsh_signature_col(F.col(emb_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        lsh_signature_col(F.col(emb_col), planes).alias("bucket"),
+    )
+    scored = v.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        "vec_id",
+        F.round(
+            dot_col(F.col("q_emb"), F.col("v_emb"))
+            / (l2_norm_col(F.col("q_emb")) * l2_norm_col(F.col("v_emb"))),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_dups(
+    vectors: DataFrame, threshold: float = 0.95, bits: int = 6,
+    id_col: str = "vec_id", emb_col: str = "embedding", dim: int | None = None,
+) -> DataFrame:
+    """All pairs with cosine >= threshold, blocked by LSH bucket (pairs in
+    different buckets are missed — the standard recall/scale trade; raise
+    bits for smaller buckets, probe multiple band rotations for recall)."""
+    if dim is None:
+        dim = len(vectors.select(emb_col).first()[0])
+    planes = hyperplanes(dim, bits)
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("emb"),
+        lsh_signature_col(F.col(emb_col), planes).alias("bucket"),
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"), "bucket")
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot_col(F.col("emb_a"), F.col("emb_b"))
+                / (l2_norm_col(F.col("emb_a")) * l2_norm_col(F.col("emb_b"))),
+                6,
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,233 @@
+"""Deduplication operators over a document corpus — first-class components
+for training-data pipelines at 100 TB (exact, MinHash-LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup).
+
+All hashing is the deterministic md5-based family from functions/hashing.py,
+reproducible in ANSI SQL for the DuckDB oracle. Corpus shape:
+documents(doc_id, text, ...).
+
+Scale notes:
+  - exact dedup: one hash aggregate on the content hash; at 100 TB prefer
+    hashing first, then groupBy the 8-byte hash (tiny shuffle payload) —
+    that is exactly what these plans do (never shuffle full text).
+  - MinHash-LSH: signatures computed JVM-side (higher-order functions, one
+    md5 per shingle); banding explodes to (band_id, band_hash) keys; the
+    bucket self-join is an equi-join on the band key, and hot buckets
+    (boilerplate docs) are bounded by banding width — salt or cap bucket
+    size if a real corpus degenerates.
+  - candidate pairs are verified with exact Jaccard before linking, then
+    clustered with the CC job (transitive closure of near-dup edges).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from refined_spark.functions.hashing import (
+    char_shingles_col,
+    md5_hash64_col,
+    minhash_sig_col,
+)
+from refined_spark.operators.clustering import connected_components
+
+
+def normalized_text_col(text: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+
+
+def exact_duplicates(documents: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents:
+    (content_hash, n_dups, doc_ids sorted, keeper = min doc_id).
+    Only hashes shuffle, never text."""
+    h = documents.select(
+        F.col(id_col).alias("doc_id"),
+        md5_hash64_col(normalized_text_col(F.col(text_col))).alias("content_hash"),
+    )
+    return (
+        h.groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signatures(documents: DataFrame, k: int = 5, num_hashes: int = 32,
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, sig array<long>[num_hashes]) over char k-shingles.
+    Two selects on purpose: the md5 base array materializes once per row
+    (CollapseProject keeps non-cheap multiply-referenced projections
+    separate), then each permutation is pure long arithmetic."""
+    from refined_spark.functions.hashing import (
+        minhash_base_col,
+        minhash_sig_from_base_col,
+    )
+
+    base = documents.select(
+        "doc_id",
+        minhash_base_col(
+            char_shingles_col(normalized_text_col(F.col(text_col)), k)
+        ).alias("mh_base"),
+    )
+    return base.select(
+        "doc_id", minhash_sig_from_base_col(F.col("mh_base"), num_hashes).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8
+) -> DataFrame:
+    """Band the signature into `bands` groups of rows; docs sharing a band
+    hash become candidate pairs. Returns (doc_a, doc_b) distinct, a < b.
+
+    Plan: posexplode signature -> band key = (band_id, hash of band slice);
+    self-join per band key. The join key includes band_id so buckets from
+    different bands never cross-join."""
+    sig_len_df = signatures.select(F.size("sig").alias("n")).limit(1).collect()
+    rows_per_band = (sig_len_df[0]["n"] if sig_len_df else 0) // bands or 1
+    banded = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.array_join(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), ",")
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), "band_id", "band_hash"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), "band_id", "band_hash"
+    )
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, documents: DataFrame, k: int = 5,
+    threshold: float = 0.8, text_col: str = "text",
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs; keeps pairs >= threshold.
+    Shingle sets are joined in (twice) rather than recomputed per pair."""
+    sh = documents.select(
+        "doc_id",
+        F.array_distinct(
+            char_shingles_col(normalized_text_col(F.col(text_col)), k)
+        ).alias("sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def near_dup_clusters(
+    documents: DataFrame, k: int = 5, num_hashes: int = 32, bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH dedup: signatures -> banded candidates -> exact
+    Jaccard verify -> CC over surviving edges. Returns
+    (doc_id, cluster_id) for docs in any near-dup cluster."""
+    sigs = minhash_signatures(documents, k, num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands)
+    verified = jaccard_verify(cands, documents, k, threshold)
+    ids = documents.select("doc_id", F.xxhash64("doc_id").alias("nid"))
+    e = (
+        verified.join(ids.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nid", "src"), "doc_a")
+        .join(ids.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nid", "dst"), "doc_b")
+        .select("src", "dst")
+    )
+    comp = connected_components(e)
+    return ids.join(comp, ids["nid"] == comp["node"]).select(
+        "doc_id", F.col("component").alias("cluster_id")
+    )
+
+
+def simhash_col(text: Column, num_bits: int = 16) -> Column:
+    """SimHash over word tokens, JVM-side: per-bit majority vote of token
+    hashes. num_bits kept small (16) because each bit is an aggregate over
+    the token array; for 64-bit production use the pandas-UDF variant
+    (functions/hashing.simhash64_py)."""
+    toks = F.split(normalized_text_col(text), " ")
+    h = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
+    bits = []
+    for bit in range(num_bits):
+        vote = F.aggregate(
+            h,
+            F.lit(0),
+            lambda acc, v: acc + F.when(F.shiftright(v, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bits.append(F.when(vote > 0, F.lit(1 << bit)).otherwise(F.lit(0)))
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out.cast("long")
+
+
+def simhash_near_dups(documents: DataFrame, num_bits: int = 16,
+                      text_col: str = "text") -> DataFrame:
+    """Docs whose SimHash is identical (bucket grouping — the scalable
+    hamming-radius-0 variant; radius>0 would probe bit-flipped buckets)."""
+    h = documents.select("doc_id", simhash_col(F.col(text_col), num_bits).alias("simhash"))
+    return (
+        h.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
+                        text_col: str = "text") -> DataFrame:
+    """Word n-gram Jaccard near-dup: block on a shared n-gram (inverted
+    index join — never a full cross join), then exact Jaccard. Returns
+    (doc_a, doc_b, jaccard) above threshold."""
+    from refined_spark.functions.hashing import token_shingles_col
+
+    grams = documents.select(
+        "doc_id",
+        F.array_distinct(
+            token_shingles_col(normalized_text_col(F.col(text_col)), n)
+        ).alias("grams"),
+    )
+    inv = grams.select("doc_id", F.explode("grams").alias("g"))
+    cand = (
+        inv.alias("x")
+        .join(inv.alias("y"), "g")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("g_a"))
+    b = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+    union = F.size(F.array_union("g_a", "g_b")).cast("double")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,115 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque `binary` columns with typed metadata structs; all
+transforms run as Arrow-batched pandas UDFs over mapInPandas so executors
+stream record batches without materializing whole partitions. The actual
+codec work (decode/resize/frame-sample) is STUBBED — no image/audio
+libraries ship in this container — behind `_decode_stub`, which produces a
+deterministic fake so the Spark-side plumbing (schema, batching, partition
+behavior) is real and tested. Swap `_decode_stub` for PIL/ffmpeg calls in a
+real deployment; nothing else changes.
+
+Schema contract:
+    media(doc_id string, media_ref string, media_type string,
+          payload binary, meta struct<width:int, height:int, duration_ms:int>)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FEATURE_DIM = 16
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def _decode_stub(payload: bytes | None, media_ref: str) -> dict:
+    """Deterministic fake decode: dimensions and a FEATURE_DIM-float feature
+    vector derived from the payload/ref hash. Replace with a real codec
+    (PIL.Image.open etc.) in production — raise if someone ships the stub:
+    set REFINED_SPARK_ALLOW_MEDIA_STUB=0 to turn it into NotImplementedError."""
+    import os
+
+    if os.environ.get("REFINED_SPARK_ALLOW_MEDIA_STUB", "1") != "1":
+        raise NotImplementedError("real media decoding requires PIL/ffmpeg")
+    h = hashlib.md5((media_ref or "") + "|").digest() if payload is None else hashlib.md5(payload).digest()
+    feats = [((h[i % 16] / 255.0) * 2 - 1) for i in range(FEATURE_DIM)]
+    return {
+        "width": 64 + h[0] % 192,
+        "height": 64 + h[1] % 192,
+        "features": feats,
+    }
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """mapInPandas decode: one Arrow batch in, one batch of
+    (doc_id, media_ref, width, height, features) out."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                _decode_stub(p, r)
+                for p, r in zip(pdf["payload"], pdf["media_ref"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_ref": pdf["media_ref"].values,
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "features": [d["features"] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(fn, DECODED_SCHEMA)
+
+
+def media_from_documents(documents: DataFrame) -> DataFrame:
+    """Pull media spans out of the interleaved documents table into the
+    media schema (payload null — refs point at external object storage; at
+    100 TB media bytes never travel through the documents table)."""
+    s = documents.select("doc_id", F.explode("spans").alias("sp"))
+    return s.where(F.col("sp.kind") == "media").select(
+        "doc_id",
+        F.col("sp.media_ref").alias("media_ref"),
+        F.lit("image").alias("media_type"),
+        F.lit(None).cast(BinaryType()).alias("payload"),
+    )
+
+
+def resize_plan(decoded: DataFrame, max_side: int = 128) -> DataFrame:
+    """Resize bookkeeping (scale factors + output dims) — pure column math;
+    the pixel work would live in the decode UDF in production."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(float(max_side)) / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    )
+    return decoded.select(
+        "doc_id",
+        "media_ref",
+        F.round(scale, 6).alias("scale"),
+        F.ceil(F.col("width") * scale).cast("int").alias("out_width"),
+        F.ceil(F.col("height") * scale).cast("int").alias("out_height"),
+    )

@@ -52,7 +52,6 @@ def build_pem(link_evidence: DataFrame, max_candidates: int = MAX_CANDIDATES) ->
                         F.col("cands"),
                         lambda c: F.struct(
                             (-c["cnt"] / F.col("total")).alias("neg_prior"),
-                            F.regexp_replace(c["qcode"], "^Q", "").cast("long").alias("qnum"),
                             c["qcode"].alias("qcode"),
                         ),
                     )
@@ -75,8 +74,10 @@ def build_pem(link_evidence: DataFrame, max_candidates: int = MAX_CANDIDATES) ->
 
 def pem_flat(pem: DataFrame) -> DataFrame:
     """pem -> (surface_form, qcode, prior, rank) long format."""
-    return pem.select(
-        "surface_form", F.posexplode("candidates").alias("pos", "c")
+    # posexplode_outer: avoids the size()>0 pushdown filter that would
+    # duplicate the candidates expression (see queries.q_minhash_signatures)
+    return pem.where(F.size("candidates") > 0).select(
+        "surface_form", F.posexplode_outer("candidates").alias("pos", "c")
     ).select(
         "surface_form",
         F.col("c.qcode").alias("qcode"),

@@ -1,0 +1,621 @@
+"""Driver-contract query catalog: every SURVEY.md §2 operator family gets a
+(spark query, DuckDB oracle SQL) pair over the driver's parquet tables at
+sf_dir (region nation customer supplier part orders lineitem events
+documents embeddings).
+
+Rules that keep the value-hash comparison honest:
+  - every computed column is aliased identically in Spark and SQL;
+  - float columns derived from accumulation order are rounded (4-6 dp);
+    single divisions/products of exact inputs are left exact;
+  - no timestamp outputs (formatted to strings where needed);
+  - deterministic ORDER-insensitive outputs (the driver sorts), ties never
+    decide row membership.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from refined_spark.functions.hashing import MD5_HASH64_SQL
+from refined_spark.functions.normalize import NORMALIZE_SQL, normalize_surface_col
+from refined_spark.functions import text as T
+from refined_spark.operators import ann, dedup
+
+N_MINHASH = 8  # keep the SQL twin compact
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- TPC-H-ish
+def q_pricing_summary(spark, sf_dir):
+    """A6-family: partial+final hash aggregation with derived columns
+    (TPC-H Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                             AS sum_qty,
+       round(sum(l_extendedprice), 2)                        AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)     AS sum_disc_price,
+       round(avg(l_quantity), 4)                             AS avg_qty,
+       count(*)                                              AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """J-family multi-join + agg (TPC-H Q5 shape): customer-order-lineitem
+    joined through nation/region dims (broadcast-able)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count_distinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name, r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey)                        AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+"""
+
+
+def q_topk_orders_per_customer(spark, sf_dir):
+    """A3-family: windowed top-k (rank filter pushed as group-limit)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def q_prediction_metrics(spark, sf_dir):
+    """J7/T1/A6: tp/fp/fn set algebra as joins + monoid fold. 'pred' =
+    high-value orders, 'gold' = fulfilled orders; keys are order ids."""
+    o = _t(spark, sf_dir, "orders")
+    pred = o.where(F.col("o_totalprice") > 150000).select("o_orderkey")
+    gold = o.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    tp = pred.join(gold, "o_orderkey", "left_semi").count()
+    fp = pred.join(gold, "o_orderkey", "left_anti").count()
+    fn = gold.join(pred, "o_orderkey", "left_anti").count()
+    return _t(spark, sf_dir, "region").sparkSession.createDataFrame(
+        [(tp, fp, fn)], "tp long, fp long, fn long"
+    )
+
+
+SQL_PREDICTION_METRICS = """
+WITH pred AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000),
+     gold AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+SELECT
+  (SELECT count(*) FROM pred WHERE o_orderkey IN (SELECT o_orderkey FROM gold))     AS tp,
+  (SELECT count(*) FROM pred WHERE o_orderkey NOT IN (SELECT o_orderkey FROM gold)) AS fp,
+  (SELECT count(*) FROM gold WHERE o_orderkey NOT IN (SELECT o_orderkey FROM pred)) AS fn
+"""
+
+
+# ------------------------------------------------------- dictionary / ER ops
+def q_normalize_surface(spark, sf_dir):
+    """F1: the blocking-key normalization (builtin column path) applied to
+    part names (the stringiest column around)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", normalize_surface_col(F.col("p_name")).alias("block_key")
+    )
+
+
+SQL_NORMALIZE = f"""
+SELECT p_partkey, {NORMALIZE_SQL.format(col='p_name')} AS block_key FROM part
+"""
+
+
+def q_pem_build(spark, sf_dir):
+    """A1+A2+A3: link-count aggregation -> prior normalization -> ranked
+    top-k, flattened. Evidence: token->source-label co-occurrence over the
+    documents corpus (same algebra as surface->qcode link counts)."""
+    from refined_spark.operators.pem import build_pem, pem_flat
+
+    d = _t(spark, sf_dir, "documents")
+    ev = (
+        d.select(F.explode(F.split("text", " ")).alias("surface_form"), F.col("source"))
+        .where(F.col("surface_form") != "")
+        .select("surface_form", F.col("source").alias("qcode"), F.lit(1.0).alias("cnt"))
+    )
+    flat = pem_flat(build_pem(ev, max_candidates=30))
+    return flat.select("surface_form", "qcode", F.round("prior", 6).alias("prior"), "rank")
+
+
+SQL_PEM_BUILD = """
+WITH ev AS (
+  SELECT unnest(string_split(text, ' ')) AS surface_form, source AS qcode
+  FROM documents
+), counts AS (
+  SELECT surface_form, qcode, count(*)::DOUBLE AS cnt
+  FROM ev WHERE surface_form <> '' GROUP BY surface_form, qcode
+), priors AS (
+  SELECT surface_form, qcode,
+         cnt / sum(cnt) OVER (PARTITION BY surface_form) AS prior
+  FROM counts
+), ranked AS (
+  SELECT surface_form, qcode, prior,
+         row_number() OVER (PARTITION BY surface_form
+                            ORDER BY prior DESC, qcode ASC) AS rank
+  FROM priors
+)
+SELECT surface_form, qcode, round(prior, 6) AS prior, rank
+FROM ranked WHERE rank <= 30
+"""
+
+
+def q_candidate_join(spark, sf_dir):
+    """J1: the blocking join — every doc token probes the dictionary built
+    by q_pem_build; misses kept (left join) like the reference's
+    empty-candidate path. Returns per-token best candidate (C5 argmax)."""
+    from refined_spark.operators.pem import build_pem, pem_flat
+
+    d = _t(spark, sf_dir, "documents")
+    ev = (
+        d.select(F.explode(F.split("text", " ")).alias("surface_form"), "source")
+        .where(F.col("surface_form") != "")
+        .select("surface_form", F.col("source").alias("qcode"), F.lit(1.0).alias("cnt"))
+    )
+    flat = pem_flat(build_pem(ev, max_candidates=30))
+    mentions = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    joined = mentions.join(
+        F.broadcast(flat), mentions["token"] == flat["surface_form"], "left"
+    )
+    best = joined.groupBy("doc_id", "token").agg(
+        F.max_by(
+            F.struct(F.col("qcode"), F.col("prior")),
+            F.struct(F.col("prior").alias("p"), F.col("qcode").alias("q")),
+        ).alias("best")
+    )
+    return best.select(
+        "doc_id",
+        "token",
+        F.col("best.qcode").alias("qcode"),
+        F.round(F.col("best.prior"), 6).alias("prior"),
+    )
+
+
+SQL_CANDIDATE_JOIN = """
+WITH ev AS (
+  SELECT unnest(string_split(text, ' ')) AS surface_form, source AS qcode
+  FROM documents
+), counts AS (
+  SELECT surface_form, qcode, count(*)::DOUBLE AS cnt
+  FROM ev WHERE surface_form <> '' GROUP BY surface_form, qcode
+), pem AS (
+  SELECT surface_form, qcode,
+         cnt / sum(cnt) OVER (PARTITION BY surface_form) AS prior
+  FROM counts
+), mentions AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), best AS (
+  SELECT m.doc_id, m.token, p.qcode, p.prior,
+         row_number() OVER (PARTITION BY m.doc_id, m.token
+                            ORDER BY p.prior DESC NULLS LAST, p.qcode DESC) AS rn
+  FROM (SELECT * FROM mentions WHERE token <> '') m
+  LEFT JOIN pem p ON m.token = p.surface_form
+)
+SELECT doc_id, token, qcode, round(prior, 6) AS prior
+FROM best WHERE rn = 1
+"""
+
+
+def q_transitive_closure(spark, sf_dir):
+    """T3: iterative frontier join over the customer->nation->region
+    hierarchy expressed as a child/parent edge list."""
+    from refined_spark.operators.closure import transitive_closure
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    e1 = c.select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("child"),
+        F.concat(F.lit("N"), F.col("c_nationkey")).alias("parent"),
+    )
+    e2 = n.select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("child"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("parent"),
+    )
+    return transitive_closure(e1.unionByName(e2)).select("child", "ancestor")
+
+
+SQL_CLOSURE = """
+WITH edges AS (
+  SELECT 'C' || c_custkey AS child, 'N' || c_nationkey AS parent FROM customer
+  UNION ALL
+  SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+)
+SELECT child, parent AS ancestor FROM edges
+UNION
+SELECT a.child, b.parent AS ancestor FROM edges a JOIN edges b ON a.parent = b.child
+"""
+
+
+# ----------------------------------------------------------------- dedup ops
+def q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(d).select(
+        "content_hash", "n_dups", F.col("keeper").cast("long").alias("keeper")
+    )
+
+
+_NORM_TEXT_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+_CONTENT_HASH_SQL = MD5_HASH64_SQL.format(col=_NORM_TEXT_SQL)
+SQL_DEDUP_EXACT = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_CONTENT_HASH_SQL} AS content_hash
+  FROM documents
+)
+SELECT content_hash, count(*) AS n_dups, min(doc_id)::BIGINT AS keeper
+FROM h GROUP BY content_hash HAVING count(*) > 1
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures, exploded long-form for stable value comparison.
+    Input repartitioned first: per-row hashing is CPU-bound and the small
+    bench files arrive as a single split."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sigs = dedup.minhash_signatures(d, k=5, num_hashes=N_MINHASH)
+    # posexplode_outer on purpose: plain posexplode adds a size()>0 filter
+    # that Catalyst pushes below the repartition WITH the whole signature
+    # expression inlined — recomputing the hashes once more on the
+    # pre-repartition split. sig is never empty, so outer is identical.
+    return sigs.select(
+        "doc_id", F.posexplode_outer("sig").alias("hash_idx", "hash_value")
+    )
+
+
+def _sql_shingles(col: str, k: int = 5) -> str:
+    norm = f"regexp_replace(trim(lower({col})), '\\s+', ' ', 'g')"
+    return (
+        f"list_distinct([substr({norm}, i, {k}) "
+        f"for i in range(1, greatest(length({norm}) - {k - 1}, 1) + 1)])"
+    )
+
+
+def _sql_minhash_long(num_hashes: int = N_MINHASH) -> str:
+    from refined_spark.functions.hashing import MASK60
+
+    rows = []
+    for i in range(num_hashes):
+        rows.append(
+            f"SELECT doc_id, {i} AS hash_idx, "
+            f"list_min(list_transform(base, b -> (b.h1 + {i} * b.h2) & {MASK60})) AS hash_value "
+            f"FROM base_t"
+        )
+    return " UNION ALL ".join(rows)
+
+
+SQL_MINHASH = f"""
+WITH sh_t AS (
+  SELECT doc_id, {_sql_shingles('text')} AS sh FROM documents
+), base_t AS (
+  SELECT doc_id, list_transform(sh, s -> struct_pack(
+           h1 := ('0x' || substr(md5(s),1,15))::BIGINT,
+           h2 := ('0x' || substr(md5(s),16,14))::BIGINT)) AS base
+  FROM sh_t
+)
+{_sql_minhash_long()}
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        "jaccard",
+    )
+
+
+SQL_NGRAM_JACCARD = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+              ELSE [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] END) AS g
+  FROM toks
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.g AS g_a, b.g AS g_b
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+  WHERE len(list_filter(a.g, x -> list_contains(b.g, x))) > 0
+)
+SELECT doc_a, doc_b,
+       round(len(list_filter(g_a, x -> list_contains(g_b, x)))::DOUBLE /
+             (len(g_a) + len(g_b) - len(list_filter(g_a, x -> list_contains(g_b, x))))::DOUBLE,
+             6) AS jaccard
+FROM pairs
+WHERE len(list_filter(g_a, x -> list_contains(g_b, x)))::DOUBLE /
+      (len(g_a) + len(g_b) - len(list_filter(g_a, x -> list_contains(g_b, x))))::DOUBLE >= 0.5
+"""
+
+
+# ------------------------------------------------------------------- ANN ops
+def q_ann_bruteforce(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.cosine_topk_bruteforce(e, queries, k=10).where(
+        F.col("query_id") != F.col("vec_id")
+    )
+
+
+SQL_ANN_BRUTE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+         round(
+           list_dot_product(q.q_emb::DOUBLE[], v.embedding::DOUBLE[]) /
+           (sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[])) *
+            sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))),
+           6) AS cos
+  FROM embeddings v CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos, rank FROM ranked
+WHERE rank <= 10 AND query_id <> vec_id
+"""
+
+
+# ------------------------------------------------------------------ text ops
+def q_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count_col(F.col("text")).alias("n_tokens"),
+        F.round(T.stopword_ratio_col(F.col("text")), 6).alias("stopword_ratio"),
+    )
+
+
+_SW = ", ".join(f"'{w}'" for w in T.EN_STOPWORDS)
+SQL_TOKEN_STATS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(lower(text)), ' ') AS w FROM documents
+)
+SELECT doc_id, len(w) AS n_tokens,
+       round(len(list_filter(w, x -> x IN ({_SW})))::DOUBLE /
+             greatest(len(w), 1)::DOUBLE, 6) AS stopword_ratio
+FROM toks
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.quality_score_col(F.col("text")).alias("quality"))
+
+
+SQL_QUALITY = f"""
+WITH b AS (
+  SELECT doc_id, text,
+         length(text)::DOUBLE AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE AS alpha,
+         length(regexp_replace(text, '[^!?.,;:]', '', 'g'))::DOUBLE AS punct,
+         len(list_filter(string_split(trim(lower(text)), ' '),
+             x -> x IN ({_SW})))::DOUBLE /
+           greatest(len(string_split(trim(lower(text)), ' ')), 1)::DOUBLE AS sw
+  FROM documents
+)
+SELECT doc_id,
+       round(0.3 * least(n_chars / 500.0, 1.0)
+           + 0.3 * (alpha / greatest(n_chars, 1.0))
+           + 0.3 * least(sw * 4.0, 1.0)
+           + 0.1 * (1.0 - least(punct / greatest(n_chars, 1.0) * 5.0, 1.0)),
+           6) AS quality
+FROM b
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint_col(F.col("text")).alias("fingerprint"))
+
+
+SQL_FINGERPRINT = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(lower(text)), ' ') AS w FROM documents
+)
+SELECT doc_id,
+       CAST(list_sum(
+         [ ((('0x' || substr(md5(w[i]), 1, 14))::BIGINT)::HUGEINT *
+            ([{', '.join(str(31**j) for j in range(8))}][((i - 1) % 8) + 1]::HUGEINT))
+           for i in range(1, len(w) + 1) ]
+       ) % {1 << 60}::HUGEINT AS BIGINT) AS fingerprint
+FROM toks
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    s = T.lang_id_struct_col(F.col("text"))
+    return d.select(
+        "doc_id", s["lang"].alias("lang_pred"), F.round(s["score"], 6).alias("lang_score")
+    )
+
+
+def _sql_lang_score(lang: str) -> str:
+    sw = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS[lang])
+    return (
+        f"len(list_filter(w, x -> x IN ({sw})))::DOUBLE / greatest(len(w),1)::DOUBLE"
+    )
+
+
+SQL_LANG_ID = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(lower(text)), ' ') AS w FROM documents
+), scored AS (
+  SELECT doc_id,
+         [{', '.join("{'score': " + _sql_lang_score(lang) + ", 'lang': '" + lang + "'}" for lang in sorted(T.LANG_STOPWORDS))}] AS ls
+  FROM toks
+), best AS (
+  SELECT doc_id, list_max(list_transform(ls, s -> (s.score, s.lang))) AS b FROM scored
+)
+SELECT doc_id, b[2] AS lang_pred, round(b[1], 6) AS lang_score FROM best
+"""
+
+
+# ---------------------------------------------------------------- streaming-ish
+def q_event_sessionize(spark, sf_dir):
+    """Window/lag sequence op (C6-family BIO-decode skeleton): sessionize
+    events per user with a 30-minute gap rule, report session row counts."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        F.unix_timestamp(F.col("ts").cast("timestamp")) - F.lag(F.unix_timestamp(F.col("ts").cast("timestamp"))).over(w) > 1800, 1
+    ).otherwise(0)
+    sess = F.sum(gap).over(w)
+    return (
+        e.withColumn("session_idx", sess)
+        .groupBy("user_id", "session_idx")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS gap
+  FROM events
+), s AS (
+  SELECT user_id, value,
+         sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       round(sum(value), 4) AS session_value
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q_denylist_filter(spark, sf_dir):
+    """P2: denylist anti-filter via array_intersect on tokenized type."""
+    p = _t(spark, sf_dir, "part")
+    deny = F.array(F.lit("small"), F.lit("mini"))
+    return p.where(
+        F.size(F.array_intersect(F.split(F.lower("p_type"), " "), deny)) == 0
+    ).select("p_partkey", "p_type")
+
+
+SQL_DENYLIST = """
+SELECT p_partkey, p_type FROM part
+WHERE len(list_filter(string_split(lower(p_type), ' '),
+          x -> x IN ('small', 'mini'))) = 0
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "topk_orders_per_customer": q_topk_orders_per_customer,
+    "prediction_metrics": q_prediction_metrics,
+    "normalize_surface": q_normalize_surface,
+    "pem_build": q_pem_build,
+    "candidate_join": q_candidate_join,
+    "transitive_closure": q_transitive_closure,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "ngram_jaccard": q_ngram_jaccard,
+    "ann_bruteforce": q_ann_bruteforce,
+    "token_stats": q_token_stats,
+    "quality_score": q_quality_score,
+    "fingerprint": q_fingerprint,
+    "lang_id": q_lang_id,
+    "event_sessionize": q_event_sessionize,
+    "denylist_filter": q_denylist_filter,
+}
+
+ORACLES: dict[str, str] = {
+    "pricing_summary": SQL_PRICING,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "topk_orders_per_customer": SQL_TOPK_ORDERS,
+    "prediction_metrics": SQL_PREDICTION_METRICS,
+    "normalize_surface": SQL_NORMALIZE,
+    "pem_build": SQL_PEM_BUILD,
+    "candidate_join": SQL_CANDIDATE_JOIN,
+    "transitive_closure": SQL_CLOSURE,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "minhash_signatures": SQL_MINHASH,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "ann_bruteforce": SQL_ANN_BRUTE,
+    "token_stats": SQL_TOKEN_STATS,
+    "quality_score": SQL_QUALITY,
+    "fingerprint": SQL_FINGERPRINT,
+    "lang_id": SQL_LANG_ID,
+    "event_sessionize": SQL_SESSIONIZE,
+    "denylist_filter": SQL_DENYLIST,
+}

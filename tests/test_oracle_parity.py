@@ -1,0 +1,58 @@
+"""Replays the driver's correctness gate: every queries() entry vs its
+DuckDB oracle at sf0.01 — row count, column names, and order-insensitive
+exact values (floats must match bit-for-bit after the rounding each query
+applies)."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _values(rows, cols):
+    return sorted(tuple(r[c] for c in cols) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_query_matches_oracle(spark, duck, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    sdf = q(spark, SF)
+    cols = sorted(sdf.columns)
+    s_vals = _values([r.asDict() for r in sdf.collect()], cols)
+
+    ddf = duck.execute(sql).fetch_df()
+    assert sorted(ddf.columns) == cols, f"schema mismatch: {sorted(ddf.columns)} vs {cols}"
+    d_vals = _values(ddf.to_dict("records"), cols)
+
+    assert len(s_vals) == len(d_vals), f"rowcount {len(s_vals)} vs {len(d_vals)}"
+    for a, b in zip(s_vals, d_vals):
+        for x, y in zip(a, b):
+            if isinstance(x, float) or isinstance(y, float):
+                fx, fy = float(x), float(y)
+                assert fx == fy or (math.isnan(fx) and math.isnan(fy)), (a, b)
+            else:
+                assert x == y, (a, b)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"doc_id", "token", "qcode", "prior"}

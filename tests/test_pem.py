@@ -32,8 +32,8 @@ def test_build_pem_truncates_and_tiebreaks(spark):
     )
     cands = build_pem(ev, max_candidates=30).collect()[0].candidates
     assert len(cands) == 30
-    # equal priors -> ascending numeric qcode
-    assert [c.qcode for c in cands][:5] == ["Q1", "Q2", "Q3", "Q4", "Q5"]
+    # equal priors -> ascending lexicographic qcode (generic keys)
+    assert [c.qcode for c in cands][:5] == sorted(f"Q{i}" for i in range(1, 41))[:5]
 
 
 def test_candidate_join_keeps_misses(spark, tables):
