@@ -209,7 +209,8 @@ def generate(out_dir: str, n_docs: int = 200, n_entities: int = 50,
                         ("media_ref", pa.string()), ("offset", pa.int32())])
     docs_tbl = pa.Table.from_pylist(docs_rows, schema=pa.schema(
         [("doc_id", pa.string()), ("spans", pa.list_(span_t))]))
-    pq.write_table(docs_tbl, f"{out_dir}/documents.parquet")
+    # small row groups so a Spark scan splits the file into many tasks
+    pq.write_table(docs_tbl, f"{out_dir}/documents.parquet", row_group_size=2048)
 
     cand_t = pa.struct([("qcode", pa.string()), ("prior", pa.float64())])
     pem_rows = [{"surface_form": sf,
@@ -242,3 +243,59 @@ def generate(out_dir: str, n_docs: int = 200, n_entities: int = 50,
     return {name: f"{out_dir}/{name}.parquet"
             for name in ["documents", "pem", "entity_meta", "entity_embeddings",
                          "human_qcodes", "gold_mentions"]}
+
+
+def generate_raw_dumps(out_dir: str, n_entities: int = 50, seed: int = 42) -> dict[str, str]:
+    """Synthetic raw-dump fixtures for the ETL scans (SURVEY §2.1):
+      - entity_dump.jsonl: wikidata-shaped JSON lines (labels, aliases,
+        claims P31/P279, sitelinks), with trailing commas + bracket lines
+        like the real dump
+      - redirect_dump.sql: MySQL INSERT page-redirect tuples
+      - aliases.tsv: quoted (surface, page) pairs
+    Entities match build_entities(seed) so ETL output is checkable against
+    the relational fixtures."""
+    import json
+
+    rng = random.Random(seed)
+    entities, _hot = build_entities(n_entities, rng)
+    os.makedirs(out_dir, exist_ok=True)
+
+    dump_path = f"{out_dir}/entity_dump.jsonl"
+    with open(dump_path, "w") as f:
+        f.write("[\n")
+        for i, e in enumerate(entities):
+            claims = {}
+            if e["is_human"]:
+                claims["P31"] = [{"type": "wikibase-item", "value": "Q5"}]
+            else:
+                claims["P31"] = [{"type": "wikibase-item", "value": "Q43229"}]
+                claims["P279"] = [{"type": "wikibase-item", "value": "Q43229"}]
+            claims["P17"] = [{"type": "string", "value": "ignored-non-item"}]
+            rec = {
+                "id": e["qcode"],
+                "labels": {"en": {"value": e["label"]}},
+                "descriptions": {"en": {"value": e["description"]}},
+                "aliases": {
+                    "en": [{"value": v} for v, _ in surface_variants(e)[1:]]
+                },
+                "claims": claims,
+                "sitelinks": {"enwiki": {"title": e["label"].replace(" ", "_")}},
+            }
+            f.write(json.dumps(rec) + (",\n" if i < len(entities) - 1 else "\n"))
+        f.write("]\n")
+
+    sql_path = f"{out_dir}/redirect_dump.sql"
+    with open(sql_path, "w") as f:
+        f.write("-- MySQL dump\nDROP TABLE IF EXISTS `redirect`;\n")
+        tuples = ",".join(
+            f"({i},'{e['label'].replace(' ', '_')}_old','{e['label'].replace(' ', '_')}')"
+            for i, e in enumerate(entities[:10])
+        )
+        f.write(f"INSERT INTO `redirect` VALUES {tuples};\n")
+
+    tsv_path = f"{out_dir}/aliases.tsv"
+    with open(tsv_path, "w") as f:
+        for e in entities[:20]:
+            f.write(f'"{e["label"].upper()}"\t{e["label"].replace(" ", "_")}\n')
+
+    return {"entity_dump": dump_path, "redirect_sql": sql_path, "alias_tsv": tsv_path}

@@ -37,10 +37,14 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
 def _large_star(edges: DataFrame) -> DataFrame:
     """Large-star over the UNDIRECTED graph: symmetrize, then for each u
     with neighborhood Γ(u): m = min(Γ(u) ∪ {u}); emit (v, m) for every
-    strictly larger neighbor v > u. Keeps high-degree hubs shallow."""
+    strictly larger neighbor v > u. Keeps high-degree hubs shallow.
+    Output may contain duplicates — the next stage's collect_set dedups;
+    skipping the distinct here saves one shuffle per round."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).where(F.col("src") != F.col("dst"))
     nbrs = (
-        _symmetrize(edges)
-        .groupBy("src")
+        sym.groupBy("src")
         .agg(F.min("dst").alias("mn"), F.collect_set("dst").alias("ns"))
         .select("src", F.least(F.col("mn"), F.col("src")).alias("m"), "ns")
     )
@@ -48,17 +52,17 @@ def _large_star(edges: DataFrame) -> DataFrame:
         nbrs.select("src", "m", F.explode("ns").alias("v"))
         .where(F.col("v") > F.col("src"))
         .select(F.col("v").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Small-star: orient each edge toward its smaller endpoint; for each u
     with smaller-neighborhood Γ⁻(u): m = min(Γ⁻(u)); emit (v, m) for
-    v ∈ Γ⁻(u) ∪ {u}, v ≠ m."""
+    v ∈ Γ⁻(u) ∪ {u}, v ≠ m. Output IS distinct (set semantics needed by the
+    convergence fingerprint)."""
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-    ).where(F.col("src") != F.col("dst")).distinct()
+    ).where(F.col("src") != F.col("dst"))
     nbrs = oriented.groupBy("src").agg(
         F.min("dst").alias("m"), F.collect_set("dst").alias("ns")
     )
@@ -86,17 +90,22 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    prev_sig: tuple | None = None
     for _ in range(max_rounds):
-        after_large = _large_star(cur).localCheckpoint(eager=True)
-        after_small = _small_star(after_large).localCheckpoint(eager=True)
-        # converged when the edge set is stable (a forest of depth-1 stars)
-        delta = (
-            after_small.exceptAll(cur).limit(1).count()
-            + cur.exceptAll(after_small).limit(1).count()
-        )
+        after_small = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # converged when the edge set is stable (a forest of depth-1 stars).
+        # Fingerprint = (count, sum of row hashes): one tiny aggregate job
+        # per round instead of two exceptAll shuffles — sets are distinct on
+        # both sides, so equal fingerprints <=> equal sets (whp).
+        sig_row = after_small.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
         cur = after_small
-        if delta == 0:
+        if sig == prev_sig:
             break
+        prev_sig = sig
     # cur is a forest of depth 1: (node -> root)
     comp = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = comp.select(F.col("component").alias("node")).distinct().withColumn(

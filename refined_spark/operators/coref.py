@@ -35,11 +35,17 @@ def propagate_person_coref(
     """candidates: (doc_id, mention_id, block_key, offset, qcode, prior)
     one row per candidate (qcode may be null for dictionary misses).
     Returns the same shape with donations merged in."""
+    cols = ["doc_id", "mention_id", "block_key", "offset", "qcode", "prior"]
     toks = F.split(F.col("block_key"), " ")
 
+    # only single-token mentions can RECEIVE donations — multi-token rows
+    # pass through untouched, so the expensive regroup shuffles only the
+    # single-token fraction of the candidate set
+    singles = candidates.where(F.size(toks) == 1).select(*cols)
+    multis = candidates.where(F.size(toks) != 1).select(*cols)
+
     donors = (
-        candidates.where(F.col("qcode").isNotNull())
-        .where(F.size(toks) >= 2)
+        multis.where(F.col("qcode").isNotNull())
         .where(F.col("prior") > COREF_FLOOR)
         .join(F.broadcast(human_qcodes), "qcode", "left_semi")
         .select(
@@ -52,10 +58,10 @@ def propagate_person_coref(
         .agg(F.max("d_prior").alias("d_prior"))
     )
 
-    receivers = candidates.where(F.size(toks) == 1).select(
-        "doc_id", "mention_id", "block_key", "offset"
-    ).distinct()
+    receivers = singles.select("doc_id", "mention_id", "block_key", "offset").distinct()
 
+    # no broadcast hint: donors scale with corpus size (doc-keyed) — AQE
+    # broadcasts automatically when the build side is actually small
     donated = receivers.join(
         donors,
         (receivers["doc_id"] == donors["d_doc_id"])
@@ -70,8 +76,7 @@ def propagate_person_coref(
     )
 
     merged = (
-        candidates.select("doc_id", "mention_id", "block_key", "offset", "qcode", "prior")
-        .unionByName(donated)
+        singles.unionByName(donated)
         .groupBy("doc_id", "mention_id", "block_key", "offset", "qcode")
         .agg(F.max("prior").alias("prior"))
     )
@@ -82,4 +87,4 @@ def propagate_person_coref(
     nulls = merged.where(F.col("qcode").isNull()).join(
         with_cand.select("mention_id").distinct(), "mention_id", "left_anti"
     )
-    return with_cand.unionByName(nulls)
+    return multis.unionByName(with_cand).unionByName(nulls)

@@ -54,7 +54,11 @@ def _decode_stub(payload: bytes | None, media_ref: str) -> dict:
 
     if os.environ.get("REFINED_SPARK_ALLOW_MEDIA_STUB", "1") != "1":
         raise NotImplementedError("real media decoding requires PIL/ffmpeg")
-    h = hashlib.md5((media_ref or "") + "|").digest() if payload is None else hashlib.md5(payload).digest()
+    h = (
+        hashlib.md5(((media_ref or "") + "|").encode("utf-8")).digest()
+        if payload is None
+        else hashlib.md5(payload).digest()
+    )
     feats = [((h[i % 16] / 255.0) * 2 - 1) for i in range(FEATURE_DIM)]
     return {
         "width": 64 + h[0] % 192,

@@ -65,8 +65,26 @@ def score_candidates(
     )
     emb = entity_embeddings.select("qcode", F.col("emb").cast("array<double>").alias("ent_emb"))
 
+    # JW depends only on (block_key, qcode): compute it once per DISTINCT
+    # pair (orders of magnitude fewer Python-UDF rows than per-candidate)
+    # and hash-join it back. At web scale this is the difference between
+    # Arrow-shipping 10^12 strings and 10^7.
+    jw_tbl = (
+        candidates.where(F.col("qcode").isNotNull())
+        .select("block_key", "qcode")
+        .distinct()
+        .join(F.broadcast(meta), "qcode", "left")
+        .select(
+            "block_key",
+            "qcode",
+            jaro_winkler_udf(
+                F.col("block_key"), F.coalesce(F.col("norm_label"), F.lit(""))
+            ).alias("jw"),
+        )
+    )
+
     scored = (
-        candidates.join(F.broadcast(meta), "qcode", "left")
+        candidates.join(F.broadcast(jw_tbl), ["block_key", "qcode"], "left")
         .join(F.broadcast(emb), "qcode", "left")
         .join(ctx_emb, "doc_id", "left")
     )
@@ -79,12 +97,8 @@ def score_candidates(
         | (l2_norm_col(F.col("ctx_emb")) == 0),
         F.lit(0.0),
     ).otherwise(cos_raw)
-    jw = F.when(F.col("qcode").isNull(), F.lit(None)).otherwise(
-        jaro_winkler_udf(F.col("block_key"), F.coalesce(F.col("norm_label"), F.lit("")))
-    )
     return (
-        scored.withColumn("jw", jw)
-        .withColumn("cos", cos)
+        scored.withColumn("cos", cos)
         .withColumn(
             "score",
             F.when(F.col("qcode").isNull(), F.lit(None)).otherwise(
@@ -93,7 +107,7 @@ def score_candidates(
                 + F.lit(W_COS) * F.greatest(F.col("cos"), F.lit(0.0))
             ),
         )
-        .drop("norm_label", "ent_emb", "ctx_emb")
+        .drop("ent_emb", "ctx_emb")
     )
 
 
@@ -108,8 +122,13 @@ def resolve(scored: DataFrame, threshold: float = ED_THRESHOLD) -> DataFrame:
         F.struct(F.col("qcode"), F.col("score")),
         F.struct(F.col("score").alias("s"), (-qnum).alias("nq")),
     )
-    out = scored.groupBy("doc_id", "mention_id", "block_key", "offset").agg(
-        pick.alias("best")
+    # group on mention_id alone (it is unique) — (doc_id, block_key, offset)
+    # ride along as max() so the shuffle hashes one short key, not four
+    out = scored.groupBy("mention_id").agg(
+        F.max("doc_id").alias("doc_id"),
+        F.max("block_key").alias("block_key"),
+        F.max("offset").alias("offset"),
+        pick.alias("best"),
     )
     return out.select(
         "doc_id",

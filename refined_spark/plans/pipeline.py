@@ -50,6 +50,12 @@ def run(
             return store.read(spark, name)
         return store.commit(make(), name, repartition_by=repartition_by)
 
+    # spread the scan: a single small parquet file arrives as ONE split, and
+    # everything before the first shuffle (normalize UDF, doc-text UDF) would
+    # run on one core. At 100 TB the input has thousands of splits and this
+    # is a near-no-op; locally it is the difference between 1 and N tasks.
+    documents = documents.repartition(spark.sparkContext.defaultParallelism)
+
     mentions = stage("mentions", lambda: build_mentions(documents), "block_key")
 
     join = pem.candidate_join_salted if salted else pem.candidate_join
@@ -63,6 +69,10 @@ def run(
 
     scored = stage("scored", make_scored)
     resolved = stage("resolved", lambda: scoring.resolve(scored))
+    if store is None:
+        # resolved feeds both the CC job and the final join — materialize it
+        # once instead of recomputing the whole upstream twice
+        resolved = resolved.localCheckpoint(eager=True)
     clusters = stage("clusters", lambda: clustering.cluster_assignments(resolved))
 
     return resolved.join(clusters, "mention_id")

@@ -1,0 +1,94 @@
+"""Dedup operators: exact, MinHash-LSH end-to-end, SimHash, n-gram Jaccard."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy dog again and again tonight"
+OTHER = "completely different content about spark shuffles and parquet files"
+
+
+def test_exact_duplicates(spark):
+    from refined_spark.operators.dedup import exact_duplicates
+
+    d = _docs(spark, [("a", BASE), ("b", "  THE quick   brown fox jumps over the lazy dog again and again today "),
+                      ("c", OTHER), ("d", BASE)])
+    groups = exact_duplicates(d).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g.n_dups == 3 and g.keeper == "a" and g.doc_ids == ["a", "b", "d"]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from refined_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = _docs(spark, [("a", BASE), ("b", NEAR), ("c", OTHER)])
+    sigs = minhash_signatures(d, k=5, num_hashes=32)
+    pairs = lsh_candidate_pairs(sigs, bands=8)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert ("a", "b") in got
+    verified = jaccard_verify(pairs, d, k=5, threshold=0.6).collect()
+    assert {(r.doc_a, r.doc_b) for r in verified} == {("a", "b")}
+    assert all(0.6 <= r.jaccard <= 1.0 for r in verified)
+
+
+def test_minhash_signature_is_deterministic(spark):
+    from refined_spark.operators.dedup import minhash_signatures
+
+    d = _docs(spark, [("a", BASE)])
+    s1 = minhash_signatures(d, num_hashes=8).collect()[0].sig
+    s2 = minhash_signatures(d, num_hashes=8).collect()[0].sig
+    assert s1 == s2 and len(s1) == 8
+
+
+def test_near_dup_clusters(spark):
+    from refined_spark.operators.dedup import near_dup_clusters
+
+    d = _docs(
+        spark,
+        [("a", BASE), ("b", NEAR), ("c", OTHER),
+         ("d", BASE + " extra"), ("e", "unrelated text about nothing at all here")],
+    )
+    cl = near_dup_clusters(d, threshold=0.6).collect()
+    by_cluster = {}
+    for r in cl:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.doc_id)
+    clusters = sorted(sorted(v) for v in by_cluster.values())
+    assert ["a", "b", "d"] in clusters
+    flat = {x for v in by_cluster.values() for x in v}
+    assert "c" not in flat and "e" not in flat
+
+
+def test_simhash_identical_docs_bucket(spark):
+    from refined_spark.operators.dedup import simhash_near_dups
+
+    d = _docs(spark, [("a", BASE), ("b", BASE), ("c", OTHER)])
+    groups = simhash_near_dups(d).collect()
+    assert len(groups) == 1 and groups[0].doc_ids == ["a", "b"]
+
+
+def test_simhash_matches_python_kernel(spark):
+    from refined_spark.functions.hashing import simhash64_py
+    from refined_spark.operators.dedup import normalized_text_col, simhash_col
+
+    d = _docs(spark, [("a", BASE)])
+    got = d.select(simhash_col(F.col("text"), num_bits=16).alias("h")).collect()[0].h
+    expected = simhash64_py(BASE.split()) & ((1 << 16) - 1)
+    assert got == expected
+
+
+def test_ngram_jaccard_pairs(spark):
+    from refined_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _docs(spark, [("a", BASE), ("b", NEAR), ("c", OTHER)])
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {("a", "b")}
