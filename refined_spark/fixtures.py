@@ -56,21 +56,66 @@ FILLER = ("market shares rose on strong earnings while analysts expected a "
           "and a series of regional summits").split()
 
 
+def _token_buckets(tok: str) -> tuple[int, float, int, float]:
+    h = hashlib.md5(tok.encode("utf-8")).digest()
+    return (
+        int.from_bytes(h[:4], "big"),
+        1.0 if h[4] % 2 == 0 else -1.0,
+        int.from_bytes(h[5:9], "big"),
+        0.5 if h[9] % 2 == 0 else -0.5,
+    )
+
+
 def hash_embed(text: str, dim: int = EMB_DIM) -> list[float]:
     """Deterministic hashed bag-of-words embedding, L2-normalized.
     Each token contributes +/-1 to dim buckets chosen by md5."""
     v = np.zeros(dim, dtype=np.float64)
     for tok in text.lower().split():
-        h = hashlib.md5(tok.encode("utf-8")).digest()
-        idx = int.from_bytes(h[:4], "big") % dim
-        sign = 1.0 if h[4] % 2 == 0 else -1.0
-        v[idx] += sign
-        idx2 = int.from_bytes(h[5:9], "big") % dim
-        v[idx2] += 0.5 * (1.0 if h[9] % 2 == 0 else -1.0)
+        i1, s1, i2, s2 = _token_buckets(tok)
+        v[i1 % dim] += s1
+        v[i2 % dim] += s2
     n = np.linalg.norm(v)
     if n > 0:
         v /= n
     return [float(x) for x in v]
+
+
+_BUCKET_CACHE: dict[str, tuple[int, float, int, float]] = {}
+
+
+def hash_embed_batch(texts, dim: int = EMB_DIM) -> np.ndarray:
+    """Vectorized batch version of hash_embed: one (len(texts), dim) float64
+    matrix. Bit-identical to the scalar version — every token contributes
+    only ±1 / ±0.5, so all partial sums are exactly representable and the
+    accumulation order is irrelevant. Token bucket hashes are memoized, so
+    md5 runs once per DISTINCT token per Python worker, and the scatter-add
+    is a single numpy np.add.at over the whole Arrow batch."""
+    n = len(texts)
+    tok_lists = [(t.lower().split() if t else []) for t in texts]
+    counts = np.fromiter((len(ts) for ts in tok_lists), dtype=np.int64, count=n)
+    total = int(counts.sum())
+    out = np.zeros((n, dim), dtype=np.float64)
+    if total:
+        idx = np.empty(2 * total, dtype=np.int64)
+        val = np.empty(2 * total, dtype=np.float64)
+        row = np.repeat(np.arange(n, dtype=np.int64), counts) * dim
+        cache = _BUCKET_CACHE
+        k = 0
+        for ts in tok_lists:
+            for tok in ts:
+                b = cache.get(tok)
+                if b is None:
+                    b = cache[tok] = _token_buckets(tok)
+                idx[k] = b[0] % dim
+                val[k] = b[1]
+                idx[k + total] = b[2] % dim
+                val[k + total] = b[3]
+                k += 1
+        flat = out.reshape(-1)
+        np.add.at(flat, np.concatenate([row + idx[:total], row + idx[total:]]), val)
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        np.divide(out, norms, out=out, where=norms > 0)
+    return out
 
 
 def build_entities(n_entities: int, rng: random.Random):

@@ -100,6 +100,50 @@ def cosine_sim_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (l2_norm_col(a) * l2_norm_col(b))
 
 
+def _series_to_mat(s: pd.Series) -> np.ndarray | None:
+    """pd.Series of array<double> (possibly with nulls) -> (n, dim) float64
+    matrix; null/ragged rows become zero vectors (norm 0 -> cosine 0)."""
+    lst = s.tolist()
+    dim = 0
+    for x in lst:
+        if x is not None and len(x) > 0:
+            dim = len(x)
+            break
+    if dim == 0:
+        return None
+    z = np.zeros(dim, dtype=np.float64)
+    rows = [x if (x is not None and len(x) == dim) else z for x in lst]
+    return np.asarray(rows, dtype=np.float64)
+
+
+@pandas_udf(DoubleType())
+def cosine_seq_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """C2 — the north rule's Arrow-vectorized embedding-cosine kernel
+    (replaces the reference's description dot-product scorer,
+    ed_layer_2.py:61-132). Bit-exact with the pure-Python oracle
+    (oracle.seq_dot/seq_norm): partial sums accumulate dimension-by-
+    dimension — vectorized across the Arrow batch, sequential across dims,
+    i.e. exactly a left-to-right fold per row — and the final expression is
+    dot / (sqrt(na2) * sqrt(nb2)). Null or zero-norm rows return 0.0."""
+    am = _series_to_mat(a)
+    bm = _series_to_mat(b)
+    n = len(a)
+    if am is None or bm is None or am.shape[1] != bm.shape[1]:
+        return pd.Series(np.zeros(n))
+    dot = np.zeros(n)
+    na2 = np.zeros(n)
+    nb2 = np.zeros(n)
+    for j in range(am.shape[1]):
+        x = am[:, j]
+        y = bm[:, j]
+        dot += x * y
+        na2 += x * x
+        nb2 += y * y
+    den = np.sqrt(na2) * np.sqrt(nb2)
+    safe = np.where(den > 0, den, 1.0)
+    return pd.Series(np.where(den > 0, dot / safe, 0.0))
+
+
 @pandas_udf(DoubleType())
 def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-batched numpy cosine — the C2 analog (batched einsum over the

@@ -74,7 +74,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_rounds: int = 30
+    edges: DataFrame, max_rounds: int = 30, edges_unique: bool = False
 ) -> DataFrame:
     """edges(src long, dst long) -> (node long, component long) where
     component is the minimum node id of the component. Isolated nodes do not
@@ -83,13 +83,20 @@ def connected_components(
     Each round is checkpointed (localCheckpoint locally; swap for reliable
     checkpoint/Iceberg snapshot on a cluster) — this bounds lineage AND works
     around a Spark 4.1 AttributeMap bug when checkpointing plans that union
-    a frame with a derivation of itself."""
-    cur = (
-        _symmetrize(edges)
-        .select(F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    a frame with a derivation of itself.
+
+    edges_unique=True skips the initial dedup shuffle — the stars tolerate
+    duplicate edges, but deduping up front keeps per-round volume minimal,
+    so only skip it when the caller guarantees uniqueness (e.g. one edge
+    per resolved mention). Orienting (greatest, least) first makes a
+    separate symmetrize pass unnecessary: the undirected edge set is fully
+    described by its canonical orientation."""
+    cur = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    if not edges_unique:
+        cur = cur.distinct()
+    cur = cur.localCheckpoint(eager=True)
     prev_sig: tuple | None = None
     for _ in range(max_rounds):
         after_small = _small_star(_large_star(cur)).localCheckpoint(eager=True)
@@ -132,7 +139,7 @@ def cluster_assignments(resolved: DataFrame) -> DataFrame:
         "mention_id", "mid", F.xxhash64(F.lit("ENT:"), "qcode").alias("eid")
     )
     edges = anchors.select(F.col("mid").alias("src"), F.col("eid").alias("dst"))
-    comp = connected_components(edges)
+    comp = connected_components(edges, edges_unique=True)
     assigned = (
         m.join(comp, m["mid"] == comp["node"], "left")
         .select(

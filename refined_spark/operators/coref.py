@@ -30,11 +30,17 @@ from refined_spark.config import COREF_CAP, COREF_FLOOR
 
 
 def propagate_person_coref(
-    candidates: DataFrame, human_qcodes: DataFrame
+    candidates: DataFrame,
+    human_qcodes: DataFrame,
+    mentions: DataFrame | None = None,
 ) -> DataFrame:
     """candidates: (doc_id, mention_id, block_key, offset, qcode, prior)
     one row per candidate (qcode may be null for dictionary misses).
-    Returns the same shape with donations merged in."""
+    Returns the same shape with donations merged in.
+
+    `mentions` (doc_id, mention_id, block_key, offset), when provided, is
+    the pre-fanout mention table — the receiver set comes from it directly
+    instead of a distinct() over the (10x larger) candidate fanout."""
     cols = ["doc_id", "mention_id", "block_key", "offset", "qcode", "prior"]
     toks = F.split(F.col("block_key"), " ")
 
@@ -58,7 +64,14 @@ def propagate_person_coref(
         .agg(F.max("d_prior").alias("d_prior"))
     )
 
-    receivers = singles.select("doc_id", "mention_id", "block_key", "offset").distinct()
+    if mentions is not None:
+        receivers = mentions.where(F.size(toks) == 1).select(
+            "doc_id", "mention_id", "block_key", "offset"
+        )
+    else:
+        receivers = singles.select(
+            "doc_id", "mention_id", "block_key", "offset"
+        ).distinct()
 
     # no broadcast hint: donors scale with corpus size (doc-keyed) — AQE
     # broadcasts automatically when the build side is actually small
@@ -74,17 +87,48 @@ def propagate_person_coref(
         F.col("d_qcode").alias("qcode"),
         F.col("d_prior").alias("prior"),
     )
+    # donated is referenced three times below (mention-id set, union);
+    # cache so its subtree (donor agg + receiver join) runs once — it is
+    # tiny relative to the candidate fanout (only mentions that actually
+    # receive a donation)
+    donated = donated.persist()
+    d_mids = donated.select("mention_id").distinct()
 
+    # only mentions that RECEIVED a donation need the regroup — typically a
+    # small fraction, so the merge shuffles ~|donated mentions| x candidates
+    # instead of the whole single-token fanout. The semi/anti joins resolve
+    # as broadcasts here (d_mids is small); at web scale AQE falls back to
+    # shuffle joins, which is still no worse than regrouping everything.
+    touched = singles.join(F.broadcast(d_mids), "mention_id", "left_semi")
+    untouched = singles.join(F.broadcast(d_mids), "mention_id", "left_anti")
+
+    # one shuffle on the mention key packs each touched mention's
+    # direct+donated candidates into an array; the spurious null row (a
+    # mention that HAD no direct candidates but received donations) is
+    # dropped array-side in the same pass. This keeps the plan a tree — an
+    # anti-join formulation would reference the merge multiple times, and
+    # Spark does not common-subexpression-eliminate across union branches.
+    packed = (
+        touched.unionByName(donated)
+        .groupBy("doc_id", "mention_id", "block_key", "offset")
+        .agg(F.collect_list(F.struct("qcode", "prior")).alias("cs"))
+    )
+    nonnull = F.filter(F.col("cs"), lambda x: x["qcode"].isNotNull())
+    cleaned = packed.select(
+        "doc_id",
+        "mention_id",
+        "block_key",
+        "offset",
+        F.when(F.size(nonnull) > 0, nonnull).otherwise(F.col("cs")).alias("cs"),
+    )
+    # dedupe qcode keeping best prior: explode + re-group — the second
+    # groupBy's keys are a superset of the first's, so hash partitioning is
+    # already satisfied and Catalyst plans NO additional exchange
     merged = (
-        singles.unionByName(donated)
-        .groupBy("doc_id", "mention_id", "block_key", "offset", "qcode")
-        .agg(F.max("prior").alias("prior"))
+        cleaned.select(
+            "doc_id", "mention_id", "block_key", "offset", F.explode("cs").alias("c")
+        )
+        .groupBy("doc_id", "mention_id", "block_key", "offset", F.col("c.qcode").alias("qcode"))
+        .agg(F.max("c.prior").alias("prior"))
     )
-    # a mention that HAD no direct candidates but received donations keeps a
-    # spurious null row; drop null-qcode rows when the mention has any
-    # non-null candidate (window-free: anti-join trick)
-    with_cand = merged.where(F.col("qcode").isNotNull())
-    nulls = merged.where(F.col("qcode").isNull()).join(
-        with_cand.select("mention_id").distinct(), "mention_id", "left_anti"
-    )
-    return multis.unionByName(with_cand).unionByName(nulls)
+    return multis.unionByName(untouched).unionByName(merged)

@@ -61,7 +61,16 @@ def run(
     join = pem.candidate_join_salted if salted else pem.candidate_join
     candidates = stage("candidates", lambda: join(mentions, pem_df))
 
-    merged = stage("coref", lambda: coref.propagate_person_coref(candidates, human_qcodes))
+    merged = stage(
+        "coref",
+        lambda: coref.propagate_person_coref(candidates, human_qcodes, mentions=mentions),
+    )
+    if store is None:
+        # the scoring stage consumes `merged` TWICE (the deduped
+        # jaro-winkler table is a broadcast branch derived from it);
+        # materialize once so the upstream (normalize UDF, PEM join, coref
+        # shuffles) is not executed per branch
+        merged = merged.localCheckpoint(eager=True)
 
     def make_scored():
         ctx = scoring.mention_context_embeddings(spans.doc_text(documents))

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from refined_spark.functions.hashing import MD5_HASH64_SQL
+from refined_spark.functions.hashing import MD5_HASH64_SQL, minhash_sig_sql
 from refined_spark.functions.normalize import NORMALIZE_SQL, normalize_surface_col
 from refined_spark.functions import text as T
 from refined_spark.operators import ann, dedup
@@ -578,6 +578,318 @@ WHERE len(list_filter(string_split(lower(p_type), ' '),
 """
 
 
+# ------------------------------------------------- dedup / ANN (scale paths)
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pair generation: band the signature, bucket-join
+    on the band hash (the 100 TB dedup path — never a cross join)."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sigs = dedup.minhash_signatures(d, k=5, num_hashes=N_MINHASH)
+    return dedup.lsh_candidate_pairs(sigs, bands=4).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+    )
+
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH sh_t AS (
+  SELECT doc_id, {_sql_shingles('text')} AS sh FROM documents
+), sig_t AS (
+  SELECT doc_id, {minhash_sig_sql('sh', N_MINHASH)} AS sig FROM sh_t
+), banded AS (
+  SELECT doc_id, b.band_id,
+         md5(sig[2*b.band_id + 1]::VARCHAR || ',' || sig[2*b.band_id + 2]::VARCHAR) AS band_hash
+  FROM sig_t, (SELECT unnest(range(4)) AS band_id) b
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b USING (band_id, band_hash)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash document fingerprints (per-bit majority vote, JVM-side)."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return d.select(
+        "doc_id", dedup.simhash_col(F.col("text"), num_bits=16).alias("simhash")
+    )
+
+
+def _sql_simhash(num_bits: int = 16) -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, v -> (v >> {bit}) & 1 = 1)) > len(hs) "
+        f"THEN {1 << bit} ELSE 0 END)"
+        for bit in range(num_bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         list_transform(w, t -> ('0x' || substr(md5(t),1,15))::BIGINT) AS hs
+  FROM toks
+)
+SELECT doc_id, ({bit_terms})::BIGINT AS simhash FROM h
+"""
+
+
+SQL_SIMHASH = _sql_simhash(16)
+
+
+def _sql_plane_literal(p: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+
+def _sql_lsh_bucket(planes: list[list[float]], emb: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product({emb}::DOUBLE[], {_sql_plane_literal(p)}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"({terms})::BIGINT"
+
+
+_NEARDUP_BITS = 6
+_EMB_DIM = 64
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicates, blocked by random-hyperplane LSH
+    bucket (the pairs-at-scale path: bucket equi-join, no cross join)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return ann.embedding_near_dups(e, threshold=0.9, bits=_NEARDUP_BITS, dim=_EMB_DIM)
+
+
+def _sql_embedding_neardup() -> str:
+    from refined_spark.operators.ann import hyperplanes
+
+    planes = hyperplanes(_EMB_DIM, _NEARDUP_BITS)
+    bucket = _sql_lsh_bucket(planes, "embedding")
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+           (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+            sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+           6) AS cos
+  FROM v a JOIN v b USING (bucket)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.9
+"""
+
+
+SQL_EMBEDDING_NEARDUP = _sql_embedding_neardup()
+
+
+def q_ann_lsh(spark, sf_dir):
+    """IVF/LSH-bucketed ANN top-k: the scale path (bucket join + exact
+    re-rank inside the bucket) next to q_ann_bruteforce's exact baseline."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.cosine_topk_lsh(
+        e, queries, k=5, bits=_NEARDUP_BITS, dim=_EMB_DIM
+    ).where(F.col("query_id") != F.col("vec_id"))
+
+
+def _sql_ann_lsh() -> str:
+    from refined_spark.operators.ann import hyperplanes
+
+    planes = hyperplanes(_EMB_DIM, _NEARDUP_BITS)
+    bucket = _sql_lsh_bucket(planes, "embedding")
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM v WHERE vec_id < 20
+), scored AS (
+  SELECT q.query_id, v.vec_id,
+         round(
+           list_dot_product(q.q_emb::DOUBLE[], v.embedding::DOUBLE[]) /
+           (sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[])) *
+            sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))),
+           6) AS cos
+  FROM v JOIN q USING (bucket)
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos, rank FROM ranked
+WHERE rank <= 5 AND query_id <> vec_id
+"""
+
+
+SQL_ANN_LSH = _sql_ann_lsh()
+
+
+# -------------------------------------------------- sequence / interval / date
+def q_bio_decode(spark, sf_dir):
+    """C6: BIO tag-sequence decode to spans via window lag + running-sum
+    segmentation. Token stream synthesized deterministically from lineitem
+    (l_returnflag: R -> B-ENT, A -> I-ENT, N -> O), so the malformed-I rule
+    (an I- without a preceding B- starts a span) is exercised."""
+    from refined_spark.operators.bio import decode_bio
+
+    li = _t(spark, sf_dir, "lineitem")
+    # l_linenumber is not unique per order in this synthetic data — collapse
+    # to one token per (order, linenumber) with a deterministic min(tag)
+    toks = (
+        li.groupBy(
+            F.col("l_orderkey").alias("doc_id"),
+            F.col("l_linenumber").alias("token_idx"),
+        )
+        .agg(
+            F.min(
+                F.when(F.col("l_returnflag") == "R", "B-ENT")
+                .when(F.col("l_returnflag") == "A", "I-ENT")
+                .otherwise("O")
+            ).alias("tag")
+        )
+        .select(
+            "doc_id",
+            "token_idx",
+            (F.col("token_idx") * 10).alias("start"),
+            (F.col("token_idx") * 10 + 5).alias("end"),
+            "tag",
+        )
+    )
+    return decode_bio(toks).select("doc_id", "start", "ln", "coarse_type")
+
+
+SQL_BIO_DECODE = """
+WITH toks AS (
+  SELECT l_orderkey AS doc_id, l_linenumber AS token_idx,
+         l_linenumber * 10 AS start, l_linenumber * 10 + 5 AS "end",
+         min(CASE l_returnflag WHEN 'R' THEN 'B-ENT' WHEN 'A' THEN 'I-ENT'
+              ELSE 'O' END) AS tag
+  FROM lineitem GROUP BY 1, 2, 3, 4
+), t2 AS (
+  SELECT *,
+         CASE WHEN tag = 'O' THEN NULL ELSE split_part(tag, '-', 2) END AS t,
+         lag(tag) OVER w AS prev_tag,
+         lag(CASE WHEN tag = 'O' THEN NULL ELSE split_part(tag, '-', 2) END)
+           OVER w AS prev_type
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY token_idx)
+), t3 AS (
+  SELECT *,
+         CASE WHEN tag LIKE 'B-%' THEN 1
+              WHEN tag LIKE 'I-%' AND
+                   (prev_tag IS NULL OR prev_tag = 'O' OR prev_type <> t) THEN 1
+              ELSE 0 END AS is_start
+  FROM t2
+), t4 AS (
+  SELECT *, sum(is_start) OVER (PARTITION BY doc_id ORDER BY token_idx
+                                ROWS UNBOUNDED PRECEDING) AS seg
+  FROM t3
+)
+SELECT doc_id, min(start) AS start, max("end") - min(start) AS ln,
+       arg_min(t, token_idx) AS coarse_type
+FROM t4 WHERE t IS NOT NULL GROUP BY doc_id, seg
+"""
+
+
+def q_span_overlap_merge(spark, sf_dir):
+    """J6: interval-overlap anti-join merge — 'click' event windows are
+    prioritized spans; 'error' windows merge in only where they do not
+    overlap a click window of the same user."""
+    from refined_spark.operators.spans import merge_spans_overlap
+
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        F.col("user_id").alias("doc_id"),
+        F.unix_timestamp(F.col("ts")).alias("start"),
+        F.lit(300).alias("ln"),
+        "event_type",
+    )
+    pri = base.where(F.col("event_type") == "click").drop("event_type").withColumn(
+        "src", F.lit("click")
+    )
+    add = base.where(F.col("event_type") == "error").drop("event_type").withColumn(
+        "src", F.lit("error")
+    )
+    return merge_spans_overlap(pri, add)
+
+
+SQL_SPAN_OVERLAP = """
+WITH base AS (
+  SELECT user_id AS doc_id, epoch_us(ts) // 1000000 AS start, 300 AS ln, event_type
+  FROM events
+), pri AS (
+  SELECT doc_id, start, ln, 'click' AS src FROM base WHERE event_type = 'click'
+), ad AS (
+  SELECT doc_id, start, ln, 'error' AS src FROM base WHERE event_type = 'error'
+)
+SELECT * FROM pri
+UNION ALL
+SELECT a.* FROM ad a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pri p
+  WHERE a.doc_id = p.doc_id
+    AND a.start < p.start + p.ln AND p.start < a.start + a.ln
+)
+"""
+
+
+def q_date_resolution(spark, sf_dir):
+    """F6 + F7 + C10: fuzzy date parse (Arrow pandas UDF over dateutil) with
+    DOC-LEVEL format consensus. Date mention strings are rendered 'd/M/yyyy'
+    from o_orderdate; 'documents' are customers — a customer with any
+    unambiguous day>12 order flips that customer's ambiguous dates to
+    day-first, exactly the reference's consensus rule
+    (date_utils.py:120-160). The oracle reconstructs the parser's contract
+    (including the deliberately-wrong month-first readings for ambiguous
+    dates in docs without evidence) from the original timestamp."""
+    from refined_spark.operators.dates import resolve_date_spans
+
+    o = _t(spark, sf_dir, "orders")
+    mentions = o.select(
+        F.col("o_custkey").alias("doc_id"),
+        F.col("o_orderkey").alias("mention_id"),
+        F.date_format("o_orderdate", "d/M/yyyy").alias("text"),
+    )
+    out = resolve_date_spans(mentions)
+    return out.select(
+        "doc_id",
+        "mention_id",
+        F.col("date.day").alias("day"),
+        F.col("date.month").alias("month"),
+        F.col("date.year").alias("year"),
+        F.col("date.known_format").alias("known_format"),
+    )
+
+
+SQL_DATE_RESOLUTION = """
+WITH m AS (
+  SELECT o_custkey AS doc_id, o_orderkey AS mention_id,
+         day(o_orderdate)::INT AS d, month(o_orderdate)::INT AS mo,
+         year(o_orderdate)::INT AS y
+  FROM orders
+), flagged AS (
+  SELECT *, (d <= 12 AND d <> mo) AS ambiguous FROM m
+), evidence AS (
+  SELECT doc_id, true AS doc_day_first FROM flagged
+  WHERE NOT ambiguous AND d > 12 GROUP BY doc_id
+)
+SELECT f.doc_id, f.mention_id,
+       CASE WHEN NOT f.ambiguous OR e.doc_day_first THEN f.d ELSE f.mo END AS day,
+       CASE WHEN NOT f.ambiguous OR e.doc_day_first THEN f.mo ELSE f.d END AS month,
+       f.y AS year,
+       NOT f.ambiguous AS known_format
+FROM flagged f LEFT JOIN evidence e USING (doc_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -597,6 +909,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "event_sessionize": q_event_sessionize,
     "denylist_filter": q_denylist_filter,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash": q_simhash,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_lsh": q_ann_lsh,
+    "bio_decode": q_bio_decode,
+    "span_overlap_merge": q_span_overlap_merge,
+    "date_resolution": q_date_resolution,
 }
 
 ORACLES: dict[str, str] = {
@@ -618,4 +937,11 @@ ORACLES: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "event_sessionize": SQL_SESSIONIZE,
     "denylist_filter": SQL_DENYLIST,
+    "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "simhash": SQL_SIMHASH,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "ann_lsh": SQL_ANN_LSH,
+    "bio_decode": SQL_BIO_DECODE,
+    "span_overlap_merge": SQL_SPAN_OVERLAP,
+    "date_resolution": SQL_DATE_RESOLUTION,
 }
