@@ -33,15 +33,24 @@ def propagate_person_coref(
     candidates: DataFrame,
     human_qcodes: DataFrame,
     mentions: DataFrame | None = None,
+    entity_meta: DataFrame | None = None,
 ) -> DataFrame:
-    """candidates: (doc_id, mention_id, block_key, offset, qcode, prior)
+    """candidates: (doc_id, mention_id, block_key, offset, qcode, prior[, jw])
     one row per candidate (qcode may be null for dictionary misses).
     Returns the same shape with donations merged in.
 
     `mentions` (doc_id, mention_id, block_key, offset), when provided, is
     the pre-fanout mention table — the receiver set comes from it directly
-    instead of a distinct() over the (10x larger) candidate fanout."""
-    cols = ["doc_id", "mention_id", "block_key", "offset", "qcode", "prior"]
+    instead of a distinct() over the (10x larger) candidate fanout.
+
+    When candidates carry a precomputed `jw` column (attach_jw on the
+    dictionary), donated rows get theirs computed here against
+    `entity_meta` — the donated pair set is tiny, so this is the only place
+    the string kernel runs per-corpus."""
+    has_jw = "jw" in candidates.columns
+    cols = ["doc_id", "mention_id", "block_key", "offset", "qcode", "prior"] + (
+        ["jw"] if has_jw else []
+    )
     toks = F.split(F.col("block_key"), " ")
 
     # only single-token mentions can RECEIVE donations — multi-token rows
@@ -87,6 +96,22 @@ def propagate_person_coref(
         F.col("d_qcode").alias("qcode"),
         F.col("d_prior").alias("prior"),
     )
+    if has_jw:
+        if entity_meta is None:
+            raise ValueError("candidates carry jw — entity_meta required "
+                             "to score donated rows")
+        from refined_spark.functions.normalize import normalize_surface_col
+        from refined_spark.functions.similarity import jaro_winkler_udf
+
+        meta = entity_meta.select(
+            "qcode", normalize_surface_col(F.col("label")).alias("norm_label")
+        )
+        donated = donated.join(F.broadcast(meta), "qcode", "left").select(
+            *[c for c in cols if c != "jw"],
+            jaro_winkler_udf(
+                F.col("block_key"), F.coalesce(F.col("norm_label"), F.lit(""))
+            ).alias("jw"),
+        )
     # donated is referenced three times below (mention-id set, union);
     # cache so its subtree (donor agg + receiver join) runs once — it is
     # tiny relative to the candidate fanout (only mentions that actually
@@ -108,10 +133,11 @@ def propagate_person_coref(
     # dropped array-side in the same pass. This keeps the plan a tree — an
     # anti-join formulation would reference the merge multiple times, and
     # Spark does not common-subexpression-eliminate across union branches.
+    cand_fields = ["qcode", "prior"] + (["jw"] if has_jw else [])
     packed = (
         touched.unionByName(donated)
         .groupBy("doc_id", "mention_id", "block_key", "offset")
-        .agg(F.collect_list(F.struct("qcode", "prior")).alias("cs"))
+        .agg(F.collect_list(F.struct(*cand_fields)).alias("cs"))
     )
     nonnull = F.filter(F.col("cs"), lambda x: x["qcode"].isNotNull())
     cleaned = packed.select(
@@ -124,11 +150,16 @@ def propagate_person_coref(
     # dedupe qcode keeping best prior: explode + re-group — the second
     # groupBy's keys are a superset of the first's, so hash partitioning is
     # already satisfied and Catalyst plans NO additional exchange
+    # jw depends only on (block_key, qcode), so within the group every row
+    # carries the same value — max() is just a pick
+    aggs = [F.max("c.prior").alias("prior")] + (
+        [F.max("c.jw").alias("jw")] if has_jw else []
+    )
     merged = (
         cleaned.select(
             "doc_id", "mention_id", "block_key", "offset", F.explode("cs").alias("c")
         )
         .groupBy("doc_id", "mention_id", "block_key", "offset", F.col("c.qcode").alias("qcode"))
-        .agg(F.max("c.prior").alias("prior"))
+        .agg(*aggs)
     )
     return multis.unionByName(untouched).unionByName(merged)

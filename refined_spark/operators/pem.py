@@ -86,10 +86,36 @@ def pem_flat(pem: DataFrame) -> DataFrame:
     )
 
 
-def candidate_join(mentions: DataFrame, pem: DataFrame) -> DataFrame:
+def attach_jw(flat: DataFrame, entity_meta: DataFrame) -> DataFrame:
+    """Precompute jaro_winkler(surface_form, normalized entity label) as a
+    DICTIONARY attribute: it depends only on the (surface_form, qcode) pair,
+    so it belongs in the PEM build, not in a per-corpus scoring pass. At
+    10^12 docs this turns 10^12 string-kernel evaluations into |dictionary|
+    (~10^8) — computed once per dictionary refresh."""
+    from refined_spark.functions.normalize import normalize_surface_col
+    from refined_spark.functions.similarity import jaro_winkler_udf
+
+    meta = entity_meta.select(
+        "qcode", normalize_surface_col(F.col("label")).alias("norm_label")
+    )
+    return (
+        flat.join(F.broadcast(meta), "qcode", "left")
+        .withColumn(
+            "jw",
+            jaro_winkler_udf(
+                F.col("surface_form"), F.coalesce(F.col("norm_label"), F.lit(""))
+            ),
+        )
+        .drop("norm_label")
+    )
+
+
+def candidate_join(
+    mentions: DataFrame, pem: DataFrame, entity_meta: DataFrame | None = None
+) -> DataFrame:
     """J1 — the blocking join. mentions must carry `block_key` (normalized
     surface). Returns one row per (mention, candidate):
-    (doc_id, mention_id, block_key, offset, qcode, prior).
+    (doc_id, mention_id, block_key, offset, qcode, prior[, jw]).
 
     The dictionary side is broadcast: at reference scale (~18M surfaces,
     top-30 candidates) the flat dictionary is a few GB — on a real cluster
@@ -97,8 +123,13 @@ def candidate_join(mentions: DataFrame, pem: DataFrame) -> DataFrame:
     skew on hot aliases is harmless under broadcast because NO shuffle of
     the fact side happens at all. Mentions with no dictionary hit are kept
     (left join) with null qcode — they become NIL downstream, matching the
-    reference's empty-candidate path."""
+    reference's empty-candidate path.
+
+    With entity_meta, the jaro-winkler feature rides in on the dictionary
+    (see attach_jw) so scoring needs no separate string-kernel pass."""
     flat = pem_flat(pem)
+    if entity_meta is not None:
+        flat = attach_jw(flat, entity_meta)
     return mentions.join(
         F.broadcast(flat),
         mentions["block_key"] == flat["surface_form"],
@@ -107,13 +138,17 @@ def candidate_join(mentions: DataFrame, pem: DataFrame) -> DataFrame:
 
 
 def candidate_join_salted(
-    mentions: DataFrame, pem: DataFrame, salt: int = 8
+    mentions: DataFrame, pem: DataFrame, salt: int = 8,
+    entity_meta: DataFrame | None = None,
 ) -> DataFrame:
     """J1 at shuffle scale: explicit key salting for when the dictionary is
     too large to broadcast. The fact side appends pmod(hash(mention_id), S)
     to the key; the dimension side is replicated S ways via explode. Same
     output contract as candidate_join."""
-    flat = pem_flat(pem).withColumn(
+    base = pem_flat(pem)
+    if entity_meta is not None:
+        base = attach_jw(base, entity_meta)
+    flat = base.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     m = mentions.withColumn(

@@ -60,37 +60,43 @@ def score_candidates(
     entity_embeddings: DataFrame,
     ctx_emb: DataFrame,
 ) -> DataFrame:
-    """candidates(doc_id, mention_id, block_key, offset, qcode, prior) ->
-    + (jw, cos, score). Null-qcode rows (dictionary misses) score null and
-    resolve to NIL downstream."""
-    meta = entity_meta.select(
-        "qcode", normalize_surface_col(F.col("label")).alias("norm_label")
-    )
+    """candidates(doc_id, mention_id, block_key, offset, qcode, prior[, jw])
+    -> + (jw, cos, score). Null-qcode rows (dictionary misses) score null
+    and resolve to NIL downstream.
+
+    When candidates already carry jw (precomputed on the dictionary by
+    pem.attach_jw — the at-scale path), no string-kernel pass runs here.
+    Otherwise jw is computed once per DISTINCT (block_key, qcode) pair and
+    hash-joined back (orders of magnitude fewer Python-UDF rows than
+    per-candidate)."""
     emb = entity_embeddings.select("qcode", F.col("emb").cast("array<double>").alias("ent_emb"))
 
-    # JW depends only on (block_key, qcode): compute it once per DISTINCT
-    # pair (orders of magnitude fewer Python-UDF rows than per-candidate)
-    # and hash-join it back. At web scale this is the difference between
-    # Arrow-shipping 10^12 strings and 10^7.
-    jw_tbl = (
-        candidates.where(F.col("qcode").isNotNull())
-        .select("block_key", "qcode")
-        .distinct()
-        .join(F.broadcast(meta), "qcode", "left")
-        .select(
-            "block_key",
-            "qcode",
-            jaro_winkler_udf(
-                F.col("block_key"), F.coalesce(F.col("norm_label"), F.lit(""))
-            ).alias("jw"),
+    if "jw" in candidates.columns:
+        scored = candidates.join(F.broadcast(emb), "qcode", "left").join(
+            ctx_emb, "doc_id", "left"
         )
-    )
-
-    scored = (
-        candidates.join(F.broadcast(jw_tbl), ["block_key", "qcode"], "left")
-        .join(F.broadcast(emb), "qcode", "left")
-        .join(ctx_emb, "doc_id", "left")
-    )
+    else:
+        meta = entity_meta.select(
+            "qcode", normalize_surface_col(F.col("label")).alias("norm_label")
+        )
+        jw_tbl = (
+            candidates.where(F.col("qcode").isNotNull())
+            .select("block_key", "qcode")
+            .distinct()
+            .join(F.broadcast(meta), "qcode", "left")
+            .select(
+                "block_key",
+                "qcode",
+                jaro_winkler_udf(
+                    F.col("block_key"), F.coalesce(F.col("norm_label"), F.lit(""))
+                ).alias("jw"),
+            )
+        )
+        scored = (
+            candidates.join(F.broadcast(jw_tbl), ["block_key", "qcode"], "left")
+            .join(F.broadcast(emb), "qcode", "left")
+            .join(ctx_emb, "doc_id", "left")
+        )
     # Arrow-vectorized cosine kernel (north rule: "embedding cosine pandas
     # UDFs, no per-row Python"); bit-exact with the oracle's seq_dot/seq_norm
     # — and ~10x faster than the interpreted zip_with/aggregate fold this

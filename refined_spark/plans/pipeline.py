@@ -58,19 +58,27 @@ def run(
 
     mentions = stage("mentions", lambda: build_mentions(documents), "block_key")
 
-    join = pem.candidate_join_salted if salted else pem.candidate_join
-    candidates = stage("candidates", lambda: join(mentions, pem_df))
+    # the jaro-winkler feature is a dictionary attribute (pem.attach_jw):
+    # candidates arrive pre-scored on the string kernel, so scoring is a
+    # single linear pass and `merged` is consumed exactly once — no
+    # materialization needed between coref and scoring
+    if salted:
+        candidates = stage(
+            "candidates",
+            lambda: pem.candidate_join_salted(mentions, pem_df, entity_meta=entity_meta),
+        )
+    else:
+        candidates = stage(
+            "candidates",
+            lambda: pem.candidate_join(mentions, pem_df, entity_meta=entity_meta),
+        )
 
     merged = stage(
         "coref",
-        lambda: coref.propagate_person_coref(candidates, human_qcodes, mentions=mentions),
+        lambda: coref.propagate_person_coref(
+            candidates, human_qcodes, mentions=mentions, entity_meta=entity_meta
+        ),
     )
-    if store is None:
-        # the scoring stage consumes `merged` TWICE (the deduped
-        # jaro-winkler table is a broadcast branch derived from it);
-        # materialize once so the upstream (normalize UDF, PEM join, coref
-        # shuffles) is not executed per branch
-        merged = merged.localCheckpoint(eager=True)
 
     def make_scored():
         ctx = scoring.mention_context_embeddings(spans.doc_text(documents))
