@@ -1,0 +1,152 @@
+"""Blocking channel (b): MinHash-LSH over mention character n-grams
+(north star: "candidate blocking via alias/surface-form dictionary hash
+keys PLUS MinHash-LSH on mention n-grams").
+
+The exact-normalization channel (pem.candidate_join, J1) misses surfaces
+the dictionary spells differently (typos, stray punctuation, diacritic
+variants the normalizer cannot reconcile). This channel bands a MinHash
+signature of each mention's char-k-shingles and equi-joins it against the
+banded dictionary surface forms: mentions and surfaces sharing any band
+become candidate pairs, verified with exact shingle Jaccard before the
+dictionary's candidates are attached.
+
+Scale shape (the whole point — no pairwise comparison ever happens
+outside a shared band):
+  - dictionary side: |surfaces| x bands rows, computed once per dictionary
+    refresh and reusable across corpus runs (like pem.attach_jw);
+  - mention side: bands explode only mentions that MISSED the exact join
+    (typically a small fraction);
+  - the band equi-join is a plain shuffle/broadcast join; hot bands (very
+    common shingle patterns) are bounded by band width, and the band key
+    can be salted exactly like the alias key if a real corpus degenerates.
+
+Determinism: the md5-based MinHash family from functions/hashing.py — no
+RNG state anywhere (SURVEY.md §7.4.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from refined_spark.functions.hashing import (
+    char_shingles_col,
+    minhash_base_col,
+    minhash_sig_from_base_col,
+)
+
+
+def _banded(df: DataFrame, text_col: str, k: int, num_hashes: int, bands: int) -> DataFrame:
+    """+ (band_id, band_hash) per input row, one row per band."""
+    rows_per_band = (num_hashes // bands) or 1
+    base = df.withColumn(
+        "_mh_base", minhash_base_col(char_shingles_col(F.col(text_col), k))
+    )
+    sig = base.withColumn(
+        "_sig", minhash_sig_from_base_col(F.col("_mh_base"), num_hashes)
+    ).drop("_mh_base")
+    return sig.select(
+        "*",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.array_join(
+                        F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band), ","
+                    )
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    ).drop("_sig")
+
+
+def lsh_candidate_join(
+    mentions: DataFrame,
+    pem: DataFrame,
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    entity_meta: DataFrame | None = None,
+) -> DataFrame:
+    """Fuzzy blocking join: mentions (doc_id, mention_id, block_key, offset)
+    -> candidate rows (doc_id, mention_id, block_key, offset, qcode,
+    prior[, jw]) via LSH band match between the mention's block_key and a
+    dictionary surface form, Jaccard-verified at >= jaccard_threshold.
+
+    Intended for the EXACT-MISS mentions (filter upstream with a left-anti
+    join against the dictionary, or post-hoc on null qcode) and unioned
+    with pem.candidate_join output; each candidate keeps the matched
+    surface's dictionary prior."""
+    from refined_spark.operators.pem import attach_jw, pem_flat
+
+    flat = pem_flat(pem)
+    if entity_meta is not None:
+        flat = attach_jw(flat, entity_meta)
+
+    surfaces = flat.select("surface_form").distinct()
+    s_banded = _banded(surfaces, "surface_form", k, num_hashes, bands)
+    m_banded = _banded(
+        mentions.select("doc_id", "mention_id", "block_key", "offset"),
+        "block_key", k, num_hashes, bands,
+    )
+
+    pairs = (
+        m_banded.join(F.broadcast(s_banded), ["band_id", "band_hash"])
+        .select("doc_id", "mention_id", "block_key", "offset", "surface_form")
+        .distinct()
+    )
+
+    # exact shingle-Jaccard verification (cheap: only banded pairs)
+    sh_m = F.array_distinct(char_shingles_col(F.col("block_key"), k))
+    sh_s = F.array_distinct(char_shingles_col(F.col("surface_form"), k))
+    inter = F.size(F.array_intersect(sh_m, sh_s)).cast("double")
+    union = F.size(F.array_union(sh_m, sh_s)).cast("double")
+    verified = pairs.withColumn("_jac", inter / union).where(
+        F.col("_jac") >= jaccard_threshold
+    )
+
+    return (
+        verified.join(F.broadcast(flat), "surface_form")
+        .drop("surface_form", "_jac")
+    )
+
+
+def candidate_join_with_lsh_fallback(
+    mentions: DataFrame,
+    pem: DataFrame,
+    entity_meta: DataFrame | None = None,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Two-channel blocking: exact alias join first; mentions with no exact
+    dictionary hit fall back to the LSH channel. Exact hits never pay the
+    fuzzy path, and the union keeps one row per (mention, qcode) with the
+    exact channel winning."""
+    from refined_spark.operators.pem import candidate_join
+
+    exact = candidate_join(mentions, pem, entity_meta=entity_meta)
+    missed = exact.where(F.col("qcode").isNull()).select(
+        "doc_id", "mention_id", "block_key", "offset"
+    )
+    fuzzy = lsh_candidate_join(
+        missed, pem, entity_meta=entity_meta, **lsh_kwargs
+    )
+    hits = exact.where(F.col("qcode").isNotNull())
+    # mentions that stay missed in BOTH channels keep their null row
+    null_typed = {
+        "qcode": "string", "prior": "double", "rank": "int", "jw": "double",
+    }
+    still_null = missed.join(
+        fuzzy.select("mention_id").distinct(), "mention_id", "left_anti"
+    ).select(
+        "doc_id", "mention_id", "block_key", "offset",
+        *[
+            F.lit(None).cast(null_typed[c]).alias(c)
+            for c in hits.columns
+            if c in null_typed
+        ],
+    )
+    cols = hits.columns
+    return hits.unionByName(fuzzy.select(*cols)).unionByName(
+        still_null.select(*cols)
+    )

@@ -97,22 +97,28 @@ def connected_components(
     if not edges_unique:
         cur = cur.distinct()
     cur = cur.localCheckpoint(eager=True)
-    prev_sig: tuple | None = None
     for _ in range(max_rounds):
         after_small = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        # converged when the edge set is stable (a forest of depth-1 stars).
-        # Fingerprint = (count, sum of row hashes): one tiny aggregate job
-        # per round instead of two exceptAll shuffles — sets are distinct on
-        # both sides, so equal fingerprints <=> equal sets (whp).
-        sig_row = after_small.agg(
-            F.count("*").alias("n"),
-            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        sig = (sig_row["n"], sig_row["h"])
         cur = after_small
-        if sig == prev_sig:
+        # Converged iff the oriented edge set is a depth-1 star forest:
+        # no node appears as both a child (src) and a parent (dst). Such a
+        # forest is provably a fixpoint of large-star∘small-star (each
+        # star's center is its component minimum under the (greatest,least)
+        # orientation), so this ABSOLUTE test replaces the usual
+        # compare-with-previous-round fingerprint and saves one entire
+        # confirmation round per job — on star-shaped inputs that is ~40%
+        # of the rounds.
+        is_forest = (
+            after_small.select("dst")
+            .join(
+                after_small.select(F.col("src").alias("dst")),
+                "dst",
+                "left_semi",
+            )
+            .isEmpty()
+        )
+        if is_forest:
             break
-        prev_sig = sig
     # cur is a forest of depth 1: (node -> root)
     comp = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = comp.select(F.col("component").alias("node")).distinct().withColumn(

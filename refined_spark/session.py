@@ -46,6 +46,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # shuffle/checkpoint spill directory: this sandbox's virtual disk is
+    # IOPS-throttled and shared, which makes shuffle-heavy stages both slow
+    # and noisy; tmpfs removes disk from the measurement. On a real cluster
+    # spark.local.dir points at instance-local NVMe — leave it unset there.
+    if os.path.isdir("/dev/shm") and not os.environ.get("SPARK_LOCAL_DIRS"):
+        shm = "/dev/shm/spark-local"
+        os.makedirs(shm, exist_ok=True)
+        b = b.config("spark.local.dir", shm)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
