@@ -39,13 +39,19 @@ HEADLINE = [
     "pem_build",
     "candidate_join",
     "minhash_signatures",
+    "minhash_lsh_pairs",
     "ngram_jaccard",
+    "simhash",
     "ann_bruteforce",
+    "ann_lsh",
+    "embedding_neardup",
     "token_stats",
     "quality_score",
     "lang_id",
     "fingerprint",
     "event_sessionize",
+    "bio_decode",
+    "span_overlap_merge",
 ]
 
 
@@ -196,7 +202,11 @@ def prep_stage_inputs(corpus: str) -> str:
     return prep
 
 
-def stage_run(corpus: str, prep: str, stage: str, cores: int, runs: int = 5) -> None:
+BENCH_RUNS = int(os.environ.get("REFINED_SPARK_BENCH_RUNS", "5"))
+
+
+def stage_run(corpus: str, prep: str, stage: str, cores: int,
+              runs: int = BENCH_RUNS) -> None:
     """Subprocess body: one JVM pinned to `cores` CPUs (taskset in the
     parent), TWO warm-ups + `runs` measured runs, prints one JSON line with
     the MIN (this sandbox VM has multi-second host-level noise bursts; min

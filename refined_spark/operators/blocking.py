@@ -84,16 +84,14 @@ def lsh_candidate_join(
     if entity_meta is not None:
         flat = attach_jw(flat, entity_meta)
 
+    mention_cols = list(mentions.columns)
     surfaces = flat.select("surface_form").distinct()
     s_banded = _banded(surfaces, "surface_form", k, num_hashes, bands)
-    m_banded = _banded(
-        mentions.select("doc_id", "mention_id", "block_key", "offset"),
-        "block_key", k, num_hashes, bands,
-    )
+    m_banded = _banded(mentions, "block_key", k, num_hashes, bands)
 
     pairs = (
         m_banded.join(F.broadcast(s_banded), ["band_id", "band_hash"])
-        .select("doc_id", "mention_id", "block_key", "offset", "surface_form")
+        .select(*mention_cols, "surface_form")
         .distinct()
     )
 
@@ -125,9 +123,8 @@ def candidate_join_with_lsh_fallback(
     from refined_spark.operators.pem import candidate_join
 
     exact = candidate_join(mentions, pem, entity_meta=entity_meta)
-    missed = exact.where(F.col("qcode").isNull()).select(
-        "doc_id", "mention_id", "block_key", "offset"
-    )
+    mention_cols = list(mentions.columns)
+    missed = exact.where(F.col("qcode").isNull()).select(*mention_cols)
     fuzzy = lsh_candidate_join(
         missed, pem, entity_meta=entity_meta, **lsh_kwargs
     )
@@ -139,7 +136,7 @@ def candidate_join_with_lsh_fallback(
     still_null = missed.join(
         fuzzy.select("mention_id").distinct(), "mention_id", "left_anti"
     ).select(
-        "doc_id", "mention_id", "block_key", "offset",
+        *mention_cols,
         *[
             F.lit(None).cast(null_typed[c]).alias(c)
             for c in hits.columns

@@ -39,6 +39,7 @@ def run(
     human_qcodes: DataFrame,
     store: StageStore | None = None,
     salted: bool = False,
+    lsh_blocking: bool = False,
 ) -> DataFrame:
     """Returns (mention_id, doc_id, block_key, offset, qcode, score,
     cluster_id). With a StageStore, each stage is committed/resumable."""
@@ -66,6 +67,17 @@ def run(
         candidates = stage(
             "candidates",
             lambda: pem.candidate_join_salted(mentions, pem_df, entity_meta=entity_meta),
+        )
+    elif lsh_blocking:
+        # two-channel blocking (north star): exact alias keys first, then
+        # MinHash-LSH bands over mention n-grams for the exact-miss tail
+        from refined_spark.operators import blocking
+
+        candidates = stage(
+            "candidates",
+            lambda: blocking.candidate_join_with_lsh_fallback(
+                mentions, pem_df, entity_meta=entity_meta
+            ),
         )
     else:
         candidates = stage(

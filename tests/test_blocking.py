@@ -67,3 +67,17 @@ def test_jaccard_threshold_blocks_weak_pairs(spark, dict_df):
     # jaccard is 5/(8+11-5) ~= 0.36 < 0.5 -> verification drops the pair
     out = blocking.lsh_candidate_join(m, dict_df, jaccard_threshold=0.5)
     assert out.count() == 0
+
+
+def test_pipeline_lsh_blocking_invariant_on_clean_corpus(spark, fixture_paths):
+    """On a corpus whose surfaces all hit the dictionary exactly, the
+    two-channel pipeline must resolve identically to the exact-only one
+    (the fuzzy channel only receives the exact-miss tail)."""
+    from refined_spark.plans import pipeline
+
+    load = lambda k: spark.read.parquet(fixture_paths[k])
+    args = (load("documents"), load("pem"), load("entity_meta"),
+            load("entity_embeddings"), load("human_qcodes"))
+    base = pipeline.run(spark, *args).select("mention_id", "qcode")
+    fuzzy = pipeline.run(spark, *args, lsh_blocking=True).select("mention_id", "qcode")
+    assert base.exceptAll(fuzzy).isEmpty() and fuzzy.exceptAll(base).isEmpty()
