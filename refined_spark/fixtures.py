@@ -189,15 +189,34 @@ def _media_ref(rng: random.Random) -> str:
 
 
 def generate(out_dir: str, n_docs: int = 200, n_entities: int = 50,
-             seed: int = 42, emb_dim: int = EMB_DIM) -> dict[str, str]:
-    """Write all fixture tables as parquet under out_dir; returns paths."""
+             seed: int = 42, emb_dim: int = EMB_DIM,
+             chunk_rows: int = 100_000) -> dict[str, str]:
+    """Write all fixture tables as parquet under out_dir; returns paths.
+    Documents stream out in chunks so million-doc corpora fit in memory."""
+    os.makedirs(out_dir, exist_ok=True)
     rng = random.Random(seed)
     entities, hot = build_entities(n_entities, rng)
     pem = build_pem(entities)
     ent_by_q = {e["qcode"]: e for e in entities}
 
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()), ("offset", pa.int32())])
+    docs_schema = pa.schema([("doc_id", pa.string()), ("spans", pa.list_(span_t))])
+    docs_writer = pq.ParquetWriter(f"{out_dir}/documents.parquet", docs_schema)
+
     docs_rows = []
     gold_rows = []
+
+    def flush_docs():
+        nonlocal docs_rows
+        if docs_rows:
+            # small row groups so a Spark scan splits the file into many tasks
+            docs_writer.write_table(
+                pa.Table.from_pylist(docs_rows, schema=docs_schema),
+                row_group_size=2048,
+            )
+            docs_rows = []
+
     for d in range(n_docs):
         doc_id = f"doc-{d:06d}"
         spans = []
@@ -248,14 +267,11 @@ def generate(out_dir: str, n_docs: int = 200, n_entities: int = 50,
                 t = " ".join(rng.choices(FILLER, k=rng.randint(3, 8)))
                 push("text", t)
         docs_rows.append({"doc_id": doc_id, "spans": spans})
+        if len(docs_rows) >= chunk_rows:
+            flush_docs()
 
-    os.makedirs(out_dir, exist_ok=True)
-    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
-                        ("media_ref", pa.string()), ("offset", pa.int32())])
-    docs_tbl = pa.Table.from_pylist(docs_rows, schema=pa.schema(
-        [("doc_id", pa.string()), ("spans", pa.list_(span_t))]))
-    # small row groups so a Spark scan splits the file into many tasks
-    pq.write_table(docs_tbl, f"{out_dir}/documents.parquet", row_group_size=2048)
+    flush_docs()
+    docs_writer.close()
 
     cand_t = pa.struct([("qcode", pa.string()), ("prior", pa.float64())])
     pem_rows = [{"surface_form": sf,
