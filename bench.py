@@ -19,6 +19,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# sandbox-only: shuffle spill to tmpfs (the virtual disk is IOPS-throttled
+# and noisy); session.get_spark only honors this with explicit opt-in
+os.environ.setdefault("REFINED_SPARK_TMPFS_SHUFFLE", "1")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_FIXTURE_DIR = os.environ.get(

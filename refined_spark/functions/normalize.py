@@ -29,9 +29,25 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
 
+# Characters NFKD cannot fold (no decomposition) or folds lossily, mapped
+# the way unidecode does (the reference's folder, loaders.py:143). Applied
+# IDENTICALLY in the Python kernel and the builtin column so the two paths
+# agree on this domain: multi-char expansions first (translate() is 1:1),
+# then the single-char table. Input is already lowercased.
+_MULTI_FOLDS = (("ß", "ss"), ("œ", "oe"), ("æ", "ae"), ("þ", "th"))
+_ACCENTED = "àáâãäåçèéêëìíîïñòóôõöøùúûüýÿšžćčđłðāēīōūňřťğşțźńśąęőű"
+_FOLDED = "aaaaaaceeeeiiiinoooooouuuuyyszccdldaeiounrtgstznsaeou"
+assert len(_ACCENTED) == len(_FOLDED)
+_PY_TABLE = str.maketrans(_ACCENTED, _FOLDED)
+
+
 def _ascii_fold(s: str) -> str:
-    # NFKD-decompose and drop combining marks; anything still non-ASCII is
-    # dropped (deterministic stand-in for unidecode, which is unavailable).
+    # explicit table first (unidecode-style for chars NFKD can't fold),
+    # then NFKD-decompose and drop combining marks; anything still
+    # non-ASCII is dropped (deterministic stand-in for unidecode).
+    for frm, to in _MULTI_FOLDS:
+        s = s.replace(frm, to)
+    s = s.translate(_PY_TABLE)
     out = unicodedata.normalize("NFKD", s)
     return "".join(c for c in out if ord(c) < 128 and not unicodedata.combining(c))
 
@@ -56,16 +72,18 @@ def normalize_surface_udf(s: pd.Series) -> pd.Series:
     return s.map(normalize_surface_py, na_action="ignore")
 
 
-# Latin-1/Latin-Extended accents that NFKD folds to single ASCII letters.
-_ACCENTED = "àáâãäåçèéêëìíîïñòóôõöøùúûüýÿšžćčđœæß"
-_FOLDED = "aaaaaaceeeeiiiinoooooouuuuyyszccdoab"  # œ->o(e) æ->a(e) ß->b are lossy; fixtures avoid them
-
-
 def normalize_surface_col(c: Column) -> Column:
-    """Builtin-only normalization (identical to normalize_surface_py on the
-    ASCII + common-Latin-1 domain). Stays inside whole-stage codegen."""
+    """Builtin-only normalization — identical to normalize_surface_py on
+    ASCII + the explicit fold tables above (which include every accent in
+    the fixture/test vocabulary: Ø, œ, ß, å, …). Stays inside whole-stage
+    codegen. The engine pipeline itself uses the UDF kernel for both
+    mentions AND labels (single-kernel rule, SURVEY §7.4.2); this builtin
+    twin exists for SQL-expressible driver queries and stays agreement-
+    tested on the extended goldens."""
     t = F.lower(c)
     t = F.regexp_replace(t, r"^the ", "")
+    for frm, to in _MULTI_FOLDS:
+        t = F.replace(t, F.lit(frm), F.lit(to))
     t = F.translate(t, _ACCENTED, _FOLDED)
     t = F.regexp_replace(t, r"'s ", " ")
     t = F.regexp_replace(t, r"'s$", "")

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from refined_spark.functions.hashing import _lcg
+from refined_spark.functions.joins import broadcast_dim
 from refined_spark.functions.similarity import dot_col, l2_norm_col
 
 
@@ -39,7 +40,9 @@ def cosine_topk_bruteforce(
         F.col(query_id_col).alias("query_id"), F.col(emb_col).alias("q_emb")
     )
     v = vectors.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("v_emb"))
-    scored = v.crossJoin(F.broadcast(q)).select(
+    # the query set is a user-provided small dim (bounded by the caller,
+    # not the corpus) — a plan-time broadcast hint is safe by contract
+    scored = v.crossJoin(broadcast_dim(q)).select(
         "query_id",
         "vec_id",
         F.round(
@@ -78,14 +81,16 @@ def lsh_signature_col(emb: Column, planes: list[list[float]]) -> Column:
 
 
 def cosine_topk_lsh(
-    vectors: DataFrame, queries: DataFrame, k: int = 10, bits: int = 8,
+    vectors: DataFrame, queries: DataFrame, dim: int, k: int = 10, bits: int = 8,
     id_col: str = "vec_id", emb_col: str = "embedding",
-    query_id_col: str = "query_id", dim: int | None = None,
+    query_id_col: str = "query_id",
 ) -> DataFrame:
     """IVF/LSH-bucketed ANN: exact re-rank within the query's bucket.
-    Recall < 1 by construction; bits trades recall vs bucket size."""
-    if dim is None:
-        dim = len(vectors.select(emb_col).first()[0])
+    Recall < 1 by construction; bits trades recall vs bucket size.
+
+    `dim` is required: plan construction must never run a Spark job, and a
+    first()/collect() probe to sniff the embedding width would compute the
+    vector table in the driver before the real query starts."""
     planes = hyperplanes(dim, bits)
     v = vectors.select(
         F.col(id_col).alias("vec_id"),
@@ -97,7 +102,7 @@ def cosine_topk_lsh(
         F.col(emb_col).alias("q_emb"),
         lsh_signature_col(F.col(emb_col), planes).alias("bucket"),
     )
-    scored = v.join(F.broadcast(q), "bucket").select(
+    scored = v.join(broadcast_dim(q), "bucket").select(
         "query_id",
         "vec_id",
         F.round(
@@ -111,14 +116,14 @@ def cosine_topk_lsh(
 
 
 def embedding_near_dups(
-    vectors: DataFrame, threshold: float = 0.95, bits: int = 6,
-    id_col: str = "vec_id", emb_col: str = "embedding", dim: int | None = None,
+    vectors: DataFrame, dim: int, threshold: float = 0.95, bits: int = 6,
+    id_col: str = "vec_id", emb_col: str = "embedding",
 ) -> DataFrame:
     """All pairs with cosine >= threshold, blocked by LSH bucket (pairs in
     different buckets are missed — the standard recall/scale trade; raise
-    bits for smaller buckets, probe multiple band rotations for recall)."""
-    if dim is None:
-        dim = len(vectors.select(emb_col).first()[0])
+    bits for smaller buckets, probe multiple band rotations for recall).
+    `dim` is required for the same no-job-at-plan-time reason as
+    cosine_topk_lsh."""
     planes = hyperplanes(dim, bits)
     v = vectors.select(
         F.col(id_col).alias("vec_id"),

@@ -77,7 +77,24 @@ def lsh_candidate_join(
     Intended for the EXACT-MISS mentions (filter upstream with a left-anti
     join against the dictionary, or post-hoc on null qcode) and unioned
     with pem.candidate_join output; each candidate keeps the matched
-    surface's dictionary prior."""
+    surface's dictionary prior.
+
+    Output is deduplicated to ONE row per (mention_id, qcode): two distinct
+    surface forms can both band-match and Jaccard-verify for the same
+    mention, and downstream scoring assumes the one-row contract — the
+    max-prior surface wins (tie: max Jaccard, then surface string).
+
+    The jw feature is recomputed against the MENTION's block_key, not
+    inherited from the dictionary: attach_jw scores
+    jaro_winkler(surface_form, label), and for a fuzzy match
+    block_key != surface_form — a typo'd mention must not inherit the clean
+    surface's near-perfect jw (it would inflate its score and NIL
+    decisions; the oracle defines jw on the block_key). The surviving LSH
+    tail is small, so this extra string-kernel pass is negligible.
+
+    No broadcast hints: banded surfaces are |surfaces| x bands rows and the
+    flat dictionary is dictionary-scale — AQE decides (functions/joins.py)."""
+    from refined_spark.functions.joins import maybe_broadcast
     from refined_spark.operators.pem import attach_jw, pem_flat
 
     flat = pem_flat(pem)
@@ -90,7 +107,7 @@ def lsh_candidate_join(
     m_banded = _banded(mentions, "block_key", k, num_hashes, bands)
 
     pairs = (
-        m_banded.join(F.broadcast(s_banded), ["band_id", "band_hash"])
+        m_banded.join(maybe_broadcast(s_banded), ["band_id", "band_hash"])
         .select(*mention_cols, "surface_form")
         .distinct()
     )
@@ -104,9 +121,39 @@ def lsh_candidate_join(
         F.col("_jac") >= jaccard_threshold
     )
 
+    cand = verified.join(maybe_broadcast(flat), "surface_form")
+    has_jw = "jw" in flat.columns
+    extra = ["prior", "rank"] + (["jw"] if has_jw else [])
+    best = F.max_by(
+        F.struct(*[F.col(c) for c in extra]),
+        F.struct(F.col("prior"), F.col("_jac"), F.col("surface_form")),
+    )
+    deduped = (
+        cand.groupBy(*mention_cols, "qcode")
+        .agg(best.alias("_b"))
+        .select(
+            *mention_cols, "qcode", *[F.col(f"_b.{c}").alias(c) for c in extra]
+        )
+    )
+    if not has_jw or entity_meta is None:
+        return deduped
+    from refined_spark.functions.normalize import normalize_surface_udf
+    from refined_spark.functions.similarity import jaro_winkler_udf
+
+    meta = entity_meta.select(
+        "qcode", normalize_surface_udf(F.col("label")).alias("norm_label")
+    )
     return (
-        verified.join(F.broadcast(flat), "surface_form")
-        .drop("surface_form", "_jac")
+        deduped.drop("jw")
+        .join(maybe_broadcast(meta), "qcode", "left")
+        .withColumn(
+            "jw",
+            jaro_winkler_udf(
+                F.col("block_key"), F.coalesce(F.col("norm_label"), F.lit(""))
+            ),
+        )
+        .drop("norm_label")
+        .select(*mention_cols, "qcode", *extra)
     )
 
 

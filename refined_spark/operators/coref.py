@@ -27,6 +27,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from refined_spark.config import COREF_CAP, COREF_FLOOR
+from refined_spark.functions.joins import broadcast_dim, maybe_broadcast
+
+# persisted intermediates (the `donated` cache below), released via
+# release_cache() once the coref output is materialized — without this,
+# repeated propagate_person_coref calls in one long-lived SparkSession
+# (streaming foreachBatch, notebook loops) would accumulate cached RDDs
+_PERSISTED: list = []
+
+
+def release_cache() -> None:
+    """Unpersist every intermediate this module cached. Call after the
+    coref output has been materialized (snapshot committed / action run);
+    plans.pipeline does this automatically."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
 
 
 def propagate_person_coref(
@@ -62,7 +77,7 @@ def propagate_person_coref(
     donors = (
         multis.where(F.col("qcode").isNotNull())
         .where(F.col("prior") > COREF_FLOOR)
-        .join(F.broadcast(human_qcodes), "qcode", "left_semi")
+        .join(broadcast_dim(human_qcodes), "qcode", "left_semi")
         .select(
             F.col("doc_id").alias("d_doc_id"),
             F.explode(F.split("block_key", " ")).alias("d_token"),
@@ -100,13 +115,14 @@ def propagate_person_coref(
         if entity_meta is None:
             raise ValueError("candidates carry jw — entity_meta required "
                              "to score donated rows")
-        from refined_spark.functions.normalize import normalize_surface_col
+        from refined_spark.functions.normalize import normalize_surface_udf
         from refined_spark.functions.similarity import jaro_winkler_udf
 
+        # same normalization kernel as mentions/oracle (SURVEY §7.4.2)
         meta = entity_meta.select(
-            "qcode", normalize_surface_col(F.col("label")).alias("norm_label")
+            "qcode", normalize_surface_udf(F.col("label")).alias("norm_label")
         )
-        donated = donated.join(F.broadcast(meta), "qcode", "left").select(
+        donated = donated.join(maybe_broadcast(meta), "qcode", "left").select(
             *[c for c in cols if c != "jw"],
             jaro_winkler_udf(
                 F.col("block_key"), F.coalesce(F.col("norm_label"), F.lit(""))
@@ -117,15 +133,17 @@ def propagate_person_coref(
     # tiny relative to the candidate fanout (only mentions that actually
     # receive a donation)
     donated = donated.persist()
+    _PERSISTED.append(donated)
     d_mids = donated.select("mention_id").distinct()
 
     # only mentions that RECEIVED a donation need the regroup — typically a
     # small fraction, so the merge shuffles ~|donated mentions| x candidates
-    # instead of the whole single-token fanout. The semi/anti joins resolve
-    # as broadcasts here (d_mids is small); at web scale AQE falls back to
-    # shuffle joins, which is still no worse than regrouping everything.
-    touched = singles.join(F.broadcast(d_mids), "mention_id", "left_semi")
-    untouched = singles.join(F.broadcast(d_mids), "mention_id", "left_anti")
+    # instead of the whole single-token fanout. No broadcast hint on d_mids:
+    # it is corpus-scale in the worst case; AQE broadcasts it when it is
+    # actually small, and a shuffle semi/anti join is still no worse than
+    # regrouping everything.
+    touched = singles.join(maybe_broadcast(d_mids), "mention_id", "left_semi")
+    untouched = singles.join(maybe_broadcast(d_mids), "mention_id", "left_anti")
 
     # one shuffle on the mention key packs each touched mention's
     # direct+donated candidates into an array; the spurious null row (a

@@ -80,16 +80,20 @@ def minhash_signatures(documents: DataFrame, k: int = 5, num_hashes: int = 32,
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 8
+    signatures: DataFrame, bands: int = 8, num_hashes: int = 32
 ) -> DataFrame:
     """Band the signature into `bands` groups of rows; docs sharing a band
     hash become candidate pairs. Returns (doc_a, doc_b) distinct, a < b.
 
     Plan: posexplode signature -> band key = (band_id, hash of band slice);
     self-join per band key. The join key includes band_id so buckets from
-    different bands never cross-join."""
-    sig_len_df = signatures.select(F.size("sig").alias("n")).limit(1).collect()
-    rows_per_band = (sig_len_df[0]["n"] if sig_len_df else 0) // bands or 1
+    different bands never cross-join.
+
+    `num_hashes` must match the signature length — threaded as a parameter
+    (the caller always knows it) so building the plan never runs a Spark
+    job: a probe like select(size('sig')).limit(1).collect() would compute
+    signatures in the driver before the real job even starts."""
+    rows_per_band = (num_hashes // bands) or 1
     banded = signatures.select(
         "doc_id",
         F.posexplode(
@@ -151,7 +155,7 @@ def near_dup_clusters(
     Jaccard verify -> CC over surviving edges. Returns
     (doc_id, cluster_id) for docs in any near-dup cluster."""
     sigs = minhash_signatures(documents, k, num_hashes)
-    cands = lsh_candidate_pairs(sigs, bands)
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes=num_hashes)
     verified = jaccard_verify(cands, documents, k, threshold)
     ids = documents.select("doc_id", F.xxhash64("doc_id").alias("nid"))
     e = (
@@ -199,10 +203,18 @@ def simhash_near_dups(documents: DataFrame, num_bits: int = 16,
 
 
 def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text", df_cap: int | None = 1000) -> DataFrame:
     """Word n-gram Jaccard near-dup: block on a shared n-gram (inverted
     index join — never a full cross join), then exact Jaccard. Returns
-    (doc_a, doc_b, jaccard) above threshold."""
+    (doc_a, doc_b, jaccard) above threshold.
+
+    df_cap is standard frequent-shingle pruning: a gram appearing in d docs
+    yields O(d^2) candidate pairs, so without a cap one boilerplate phrase
+    makes the self-join quadratic in corpus size. Grams with document
+    frequency > df_cap are dropped from the INDEX only (the exact Jaccard
+    still counts them) — this can lose only pairs whose every shared gram
+    is ubiquitous, which the >= threshold verify would almost surely reject
+    anyway. df_cap=None disables (exact candidate recall, small corpora)."""
     from refined_spark.functions.hashing import token_shingles_col
 
     grams = documents.select(
@@ -212,6 +224,14 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5
         ).alias("grams"),
     )
     inv = grams.select("doc_id", F.explode("grams").alias("g"))
+    if df_cap is not None:
+        # one extra agg on the (small) gram key; the win is quadratic
+        rare = (
+            inv.groupBy("g").agg(F.count("*").alias("df"))
+            .where(F.col("df") <= df_cap)
+            .select("g")
+        )
+        inv = inv.join(rare, "g", "left_semi")
     cand = (
         inv.alias("x")
         .join(inv.alias("y"), "g")

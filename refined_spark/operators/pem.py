@@ -91,15 +91,21 @@ def attach_jw(flat: DataFrame, entity_meta: DataFrame) -> DataFrame:
     DICTIONARY attribute: it depends only on the (surface_form, qcode) pair,
     so it belongs in the PEM build, not in a per-corpus scoring pass. At
     10^12 docs this turns 10^12 string-kernel evaluations into |dictionary|
-    (~10^8) — computed once per dictionary refresh."""
-    from refined_spark.functions.normalize import normalize_surface_col
+    (~10^8) — computed once per dictionary refresh.
+
+    Labels are normalized with the SAME kernel as mentions
+    (normalize_surface_udf, the shared Python/oracle kernel) — a split
+    kernel would make engine JW disagree with oracle JW on any label
+    outside the builtin approximation's domain (SURVEY §7.4.2)."""
+    from refined_spark.functions.joins import maybe_broadcast
+    from refined_spark.functions.normalize import normalize_surface_udf
     from refined_spark.functions.similarity import jaro_winkler_udf
 
     meta = entity_meta.select(
-        "qcode", normalize_surface_col(F.col("label")).alias("norm_label")
+        "qcode", normalize_surface_udf(F.col("label")).alias("norm_label")
     )
     return (
-        flat.join(F.broadcast(meta), "qcode", "left")
+        flat.join(maybe_broadcast(meta), "qcode", "left")
         .withColumn(
             "jw",
             jaro_winkler_udf(
@@ -117,21 +123,26 @@ def candidate_join(
     surface). Returns one row per (mention, candidate):
     (doc_id, mention_id, block_key, offset, qcode, prior[, jw]).
 
-    The dictionary side is broadcast: at reference scale (~18M surfaces,
-    top-30 candidates) the flat dictionary is a few GB — on a real cluster
-    either broadcast (fits executor memory) or leave to AQE: mention-side
-    skew on hot aliases is harmless under broadcast because NO shuffle of
-    the fact side happens at all. Mentions with no dictionary hit are kept
-    (left join) with null qcode — they become NIL downstream, matching the
+    The dictionary side carries NO broadcast hint: at reference scale
+    (~18M surfaces, top-30 candidates) the flat dictionary is a few GB —
+    sometimes broadcastable, sometimes not, and a plan-time hint cannot be
+    demoted when it is not. AQE broadcasts it from observed size when it
+    fits (under broadcast, mention-side skew on hot aliases is harmless —
+    no fact-side shuffle happens at all) and falls back to a shuffle join
+    otherwise; for the shuffle case with hot aliases use
+    candidate_join_salted. Mentions with no dictionary hit are kept (left
+    join) with null qcode — they become NIL downstream, matching the
     reference's empty-candidate path.
 
     With entity_meta, the jaro-winkler feature rides in on the dictionary
     (see attach_jw) so scoring needs no separate string-kernel pass."""
+    from refined_spark.functions.joins import maybe_broadcast
+
     flat = pem_flat(pem)
     if entity_meta is not None:
         flat = attach_jw(flat, entity_meta)
     return mentions.join(
-        F.broadcast(flat),
+        maybe_broadcast(flat),
         mentions["block_key"] == flat["surface_form"],
         "left",
     ).drop("surface_form")

@@ -33,7 +33,8 @@ from pyspark.sql.types import ArrayType, DoubleType
 
 from refined_spark.config import ED_THRESHOLD, W_COS, W_JW, W_PRIOR
 from refined_spark.fixtures import hash_embed_batch
-from refined_spark.functions.normalize import normalize_surface_col
+from refined_spark.functions.joins import maybe_broadcast
+from refined_spark.functions.normalize import normalize_surface_udf
 from refined_spark.functions.similarity import cosine_seq_udf, jaro_winkler_udf
 
 
@@ -68,22 +69,32 @@ def score_candidates(
     pem.attach_jw — the at-scale path), no string-kernel pass runs here.
     Otherwise jw is computed once per DISTINCT (block_key, qcode) pair and
     hash-joined back (orders of magnitude fewer Python-UDF rows than
-    per-candidate)."""
-    emb = entity_embeddings.select("qcode", F.col("emb").cast("array<double>").alias("ent_emb"))
+    per-candidate).
+
+    No broadcast hints on emb/meta/jw_tbl: the entity-embedding table is
+    33.8M x 300 floats (~40-80 GB) at reference scale and jw_tbl is
+    corpus-sized distinct pairs — a hard hint is not demotable and OOMs at
+    100x (functions/joins.py policy); AQE still broadcasts them at sandbox
+    scale from observed sizes."""
+    emb = maybe_broadcast(
+        entity_embeddings.select(
+            "qcode", F.col("emb").cast("array<double>").alias("ent_emb")
+        )
+    )
 
     if "jw" in candidates.columns:
-        scored = candidates.join(F.broadcast(emb), "qcode", "left").join(
+        scored = candidates.join(emb, "qcode", "left").join(
             ctx_emb, "doc_id", "left"
         )
     else:
         meta = entity_meta.select(
-            "qcode", normalize_surface_col(F.col("label")).alias("norm_label")
+            "qcode", normalize_surface_udf(F.col("label")).alias("norm_label")
         )
         jw_tbl = (
             candidates.where(F.col("qcode").isNotNull())
             .select("block_key", "qcode")
             .distinct()
-            .join(F.broadcast(meta), "qcode", "left")
+            .join(maybe_broadcast(meta), "qcode", "left")
             .select(
                 "block_key",
                 "qcode",
@@ -93,8 +104,8 @@ def score_candidates(
             )
         )
         scored = (
-            candidates.join(F.broadcast(jw_tbl), ["block_key", "qcode"], "left")
-            .join(F.broadcast(emb), "qcode", "left")
+            candidates.join(maybe_broadcast(jw_tbl), ["block_key", "qcode"], "left")
+            .join(emb, "qcode", "left")
             .join(ctx_emb, "doc_id", "left")
         )
     # Arrow-vectorized cosine kernel (north rule: "embedding cosine pandas

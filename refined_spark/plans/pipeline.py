@@ -51,11 +51,15 @@ def run(
             return store.read(spark, name)
         return store.commit(make(), name, repartition_by=repartition_by)
 
-    # spread the scan: a single small parquet file arrives as ONE split, and
-    # everything before the first shuffle (normalize UDF, doc-text UDF) would
-    # run on one core. At 100 TB the input has thousands of splits and this
-    # is a near-no-op; locally it is the difference between 1 and N tasks.
-    documents = documents.repartition(spark.sparkContext.defaultParallelism)
+    # spread the scan ONLY when it arrives under-partitioned: a single small
+    # parquet file is ONE split, and everything before the first shuffle
+    # (normalize UDF, doc-text UDF) would run on one core. At 100 TB the
+    # input already has thousands of splits and this branch never fires — an
+    # unconditional repartition would be one full extra shuffle of the
+    # entire corpus (tune spark.sql.files.maxPartitionBytes instead).
+    parallelism = spark.sparkContext.defaultParallelism
+    if documents.rdd.getNumPartitions() < parallelism:
+        documents = documents.repartition(parallelism)
 
     mentions = stage("mentions", lambda: build_mentions(documents), "block_key")
 
@@ -91,6 +95,10 @@ def run(
             candidates, human_qcodes, mentions=mentions, entity_meta=entity_meta
         ),
     )
+    if store is not None:
+        # the coref snapshot is committed (materialized) — drop the
+        # intermediate `donated` cache so long-lived sessions don't leak it
+        coref.release_cache()
 
     def make_scored():
         ctx = scoring.mention_context_embeddings(spans.doc_text(documents))

@@ -219,8 +219,10 @@ def q_candidate_join(spark, sf_dir):
         .where(F.col("token") != "")
         .distinct()
     )
+    from refined_spark.functions.joins import maybe_broadcast
+
     joined = mentions.join(
-        F.broadcast(flat), mentions["token"] == flat["surface_form"], "left"
+        maybe_broadcast(flat), mentions["token"] == flat["surface_form"], "left"
     )
     best = joined.groupBy("doc_id", "token").agg(
         F.max_by(
@@ -364,18 +366,23 @@ WITH sh_t AS (
 """
 
 
+NGRAM_DF_CAP = 1000  # frequent-shingle pruning bound, mirrored in the oracle
+
+
 def q_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5).select(
+    return dedup.ngram_jaccard_pairs(
+        d, n=3, threshold=0.5, df_cap=NGRAM_DF_CAP
+    ).select(
         F.col("doc_a").cast("long").alias("doc_a"),
         F.col("doc_b").cast("long").alias("doc_b"),
         "jaccard",
     )
 
 
-SQL_NGRAM_JACCARD = """
+SQL_NGRAM_JACCARD = f"""
 WITH toks AS (
   SELECT doc_id,
          string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
@@ -385,10 +392,20 @@ WITH toks AS (
          list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
               ELSE [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] END) AS g
   FROM toks
+), inv AS (
+  SELECT doc_id, unnest(g) AS gram FROM grams
+), rare AS (
+  SELECT gram FROM inv GROUP BY gram HAVING count(*) <= {NGRAM_DF_CAP}
+), rinv AS (
+  SELECT i.doc_id, i.gram FROM inv i JOIN rare USING (gram)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rinv a JOIN rinv b USING (gram) WHERE a.doc_id < b.doc_id
 ), pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.g AS g_a, b.g AS g_b
-  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-  WHERE len(list_filter(a.g, x -> list_contains(b.g, x))) > 0
+  SELECT c.doc_a, c.doc_b, ga.g AS g_a, gb.g AS g_b
+  FROM cand c
+  JOIN grams ga ON c.doc_a = ga.doc_id
+  JOIN grams gb ON c.doc_b = gb.doc_id
 )
 SELECT doc_a, doc_b,
        round(len(list_filter(g_a, x -> list_contains(g_b, x)))::DOUBLE /
@@ -556,7 +573,7 @@ WITH g AS (
                         ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM g
 )
-SELECT user_id, session_idx, count(*) AS n_events,
+SELECT user_id, session_idx::BIGINT AS session_idx, count(*) AS n_events,
        round(sum(value), 4) AS session_value
 FROM s GROUP BY user_id, session_idx
 """
@@ -586,7 +603,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
         spark.sparkContext.defaultParallelism
     )
     sigs = dedup.minhash_signatures(d, k=5, num_hashes=N_MINHASH)
-    return dedup.lsh_candidate_pairs(sigs, bands=4).select(
+    return dedup.lsh_candidate_pairs(sigs, bands=4, num_hashes=N_MINHASH).select(
         F.col("doc_a").cast("long").alias("doc_a"),
         F.col("doc_b").cast("long").alias("doc_b"),
     )
@@ -662,7 +679,7 @@ def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicates, blocked by random-hyperplane LSH
     bucket (the pairs-at-scale path: bucket equi-join, no cross join)."""
     e = _t(spark, sf_dir, "embeddings")
-    return ann.embedding_near_dups(e, threshold=0.9, bits=_NEARDUP_BITS, dim=_EMB_DIM)
+    return ann.embedding_near_dups(e, dim=_EMB_DIM, threshold=0.9, bits=_NEARDUP_BITS)
 
 
 def _sql_embedding_neardup() -> str:
@@ -698,7 +715,7 @@ def q_ann_lsh(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ann.cosine_topk_lsh(
-        e, queries, k=5, bits=_NEARDUP_BITS, dim=_EMB_DIM
+        e, queries, dim=_EMB_DIM, k=5, bits=_NEARDUP_BITS
     ).where(F.col("query_id") != F.col("vec_id"))
 
 

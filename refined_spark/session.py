@@ -48,9 +48,15 @@ def get_spark(
     )
     # shuffle/checkpoint spill directory: this sandbox's virtual disk is
     # IOPS-throttled and shared, which makes shuffle-heavy stages both slow
-    # and noisy; tmpfs removes disk from the measurement. On a real cluster
-    # spark.local.dir points at instance-local NVMe — leave it unset there.
-    if os.path.isdir("/dev/shm") and not os.environ.get("SPARK_LOCAL_DIRS"):
+    # and noisy; tmpfs removes disk from the measurement. Opt-in only
+    # (REFINED_SPARK_TMPFS_SHUFFLE=1, set by bench.py and the test suite):
+    # /dev/shm exists on every Linux host and is typically capped at 50% RAM,
+    # so defaulting shuffle spill into it would break sizeable real runs.
+    if (
+        os.environ.get("REFINED_SPARK_TMPFS_SHUFFLE") == "1"
+        and os.path.isdir("/dev/shm")
+        and not os.environ.get("SPARK_LOCAL_DIRS")
+    ):
         shm = "/dev/shm/spark-local"
         os.makedirs(shm, exist_ok=True)
         b = b.config("spark.local.dir", shm)

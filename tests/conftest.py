@@ -1,9 +1,13 @@
+import os
 import sys
 from pathlib import Path
 
 import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+# sandbox-only: keep shuffle spill off the IOPS-throttled virtual disk
+os.environ.setdefault("REFINED_SPARK_TMPFS_SHUFFLE", "1")
 
 from refined_spark import fixtures  # noqa: E402
 from refined_spark.session import get_spark  # noqa: E402

@@ -34,7 +34,7 @@ def test_lsh_topk_subset_of_bucket(spark, vectors):
 
     df, _ = vectors
     queries = df.where("vec_id < 3").selectExpr("vec_id as query_id", "embedding")
-    got = cosine_topk_lsh(df, queries, k=5, bits=4)
+    got = cosine_topk_lsh(df, queries, dim=16, k=5, bits=4)
     rows = got.collect()
     # query always lands in its own bucket with cos 1.0 at rank 1
     for q in range(3):
@@ -51,5 +51,5 @@ def test_embedding_near_dups(spark):
     df = spark.createDataFrame(
         [(1, base), (2, near), (3, far)], "vec_id long, embedding array<float>"
     )
-    got = embedding_near_dups(df, threshold=0.95, bits=2).collect()
+    got = embedding_near_dups(df, dim=16, threshold=0.95, bits=2).collect()
     assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}

@@ -24,6 +24,15 @@ GOLDENS = [
     ("  Angela   Merkel ", "angela merkel"),
     ("Müller", "muller"),
     ("García", "garcia"),
+    # the divergent-fold domain: chars NFKD cannot decompose (Ø, ß, œ, æ)
+    # — these used to split the py/builtin kernels (round-1 VERDICT) and
+    # now pin the shared unidecode-style tables
+    ("Øst", "ost"),
+    ("œuvre", "oeuvre"),
+    ("straße", "strasse"),
+    ("Æther", "aether"),
+    ("Łódź", "lodz"),
+    ("Þór", "thor"),
     ("MACRON", "macron"),
     ("the  The", "the"),
     ('"England"', "england"),

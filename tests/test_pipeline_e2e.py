@@ -84,6 +84,34 @@ def test_golden_clusters(spark, tables, fixture_paths):
     assert m["f1"] >= 0.99, m
 
 
+def test_golden_clusters_without_broadcast(spark, tables, fixture_paths):
+    """The non-broadcast path (functions/joins.py policy): with
+    autoBroadcastJoinThreshold=-1 every maybe_broadcast join takes its
+    shuffle form — the 100x-scale physical plan. Winners must be identical
+    to the oracle either way (join strategy must never change results)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = pipeline.run(
+            spark,
+            tables["documents"],
+            tables["pem"],
+            tables["entity_meta"],
+            tables["entity_embeddings"],
+            tables["human_qcodes"],
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    g, pem_d, meta_d, emb_d, hq, doc_texts, mentions = _oracle_inputs(fixture_paths)
+    assign = resolve_mentions(mentions, pem_d, meta_d, emb_d, hq, doc_texts)
+    eng = {r.mention_id: r.qcode for r in out}
+    mismatches = [
+        (mid, q, eng.get(mid)) for mid, q in assign.items() if eng.get(mid) != q
+    ]
+    assert not mismatches, f"winner mismatches (shuffle-join plan): {mismatches[:10]}"
+
+
 def test_span_invariant_through_pipeline(spark, tables):
     # the pipeline never rewrites documents; assert the distributed checker
     # agrees (and that a perturbed frame fails)
