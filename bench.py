@@ -114,8 +114,10 @@ def main_bench() -> None:
     from refined_spark import queries as Q
     from refined_spark.session import get_spark
 
+    # shuffle partitions ~3x cores (NOT == cores: one task-wave has zero
+    # slack for stragglers); AQE coalesces small stages back down
     spark = get_spark(app_name="refined_spark_bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=int(CPUS))
+                      shuffle_partitions=3 * int(CPUS))
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
@@ -227,10 +229,14 @@ def stage_run(corpus: str, prep: str, stage: str, cores: int,
     from refined_spark.operators import clustering, scoring, spans
     from refined_spark.session import get_spark
 
+    # IDENTICAL job config at both parallelism levels (a real cluster job
+    # ships one config and runs on N or 4N executors): shuffle partitions
+    # fixed at 3x the larger size; AQE's parallelism-first coalescing keeps
+    # at least defaultParallelism partitions at either scale
     spark = get_spark(
         app_name=f"scaling_{stage}_{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=max(cores, 8),
+        shuffle_partitions=96,
     )
     spark.sparkContext.setLogLevel("ERROR")
     load = lambda k: spark.read.parquet(f"{corpus}/{k}.parquet")

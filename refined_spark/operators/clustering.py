@@ -14,9 +14,25 @@ localCheckpoint() to truncate lineage (Catalyst cannot express the fixpoint,
 SURVEY.md §4(b)). Node ids are longs; callers map arbitrary keys to longs
 via xxhash64 or a dictionary. Self-loops and duplicate edges are tolerated.
 
+Convergence test (absolute, no compare-with-previous round): the oriented
+edge set is a depth-1 star forest iff
+  (a) no node appears as both a child (src) and a parent (dst), AND
+  (b) every child has exactly ONE parent row.
+Condition (b) is essential: small-star can emit a child under two different
+parents (the child was a smaller-neighbor of two larger nodes with distinct
+minima), and that state passes test (a) while NOT being a fixpoint —
+stopping there splits true components (regression: path 1-10-3-20-2 in
+tests/test_clustering.py). With both conditions the set is a genuine
+function child -> parent whose parents are never children, which IS a
+fixpoint of large-star∘small-star, so no confirmation round is needed.
+
 At 100 TB scale the dominant cost is the per-round shuffle on node id; both
 stars are plain hash aggregations (no skew beyond true graph structure;
-large-star specifically exists to break up high-degree hubs).
+large-star specifically exists to break up high-degree hubs). The round
+output is hash-partitioned BY src (repartition before the set-dedup, which
+Catalyst satisfies with the src-only partitioning since src is a prefix of
+the dedup key), so the convergence aggregation and the final assembly reuse
+the partitioning without extra exchanges.
 """
 
 from __future__ import annotations
@@ -38,8 +54,9 @@ def _large_star(edges: DataFrame) -> DataFrame:
     """Large-star over the UNDIRECTED graph: symmetrize, then for each u
     with neighborhood Γ(u): m = min(Γ(u) ∪ {u}); emit (v, m) for every
     strictly larger neighbor v > u. Keeps high-degree hubs shallow.
-    Output may contain duplicates — the next stage's collect_set dedups;
-    skipping the distinct here saves one shuffle per round."""
+    Output may contain duplicates — the next stage's aggregation dedups;
+    skipping the distinct here saves one shuffle per round. Every emitted
+    row already satisfies src > dst (v > u >= m)."""
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).where(F.col("src") != F.col("dst"))
@@ -58,8 +75,12 @@ def _large_star(edges: DataFrame) -> DataFrame:
 def _small_star(edges: DataFrame) -> DataFrame:
     """Small-star: orient each edge toward its smaller endpoint; for each u
     with smaller-neighborhood Γ⁻(u): m = min(Γ⁻(u)); emit (v, m) for
-    v ∈ Γ⁻(u) ∪ {u}, v ≠ m. Output IS distinct (set semantics needed by the
-    convergence fingerprint)."""
+    v ∈ Γ⁻(u) ∪ {u}, v ≠ m. Output IS distinct (set semantics needed by
+    the convergence test) and hash-partitioned by src: the repartition
+    replaces the exchange the distinct would have inserted anyway (same
+    shuffle count — src is a prefix of the dedup key, so Catalyst adds no
+    second exchange) and leaves the result partitioned so downstream
+    per-src aggregations are exchange-free."""
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).where(F.col("src") != F.col("dst"))
@@ -70,7 +91,31 @@ def _small_star(edges: DataFrame) -> DataFrame:
         F.col("v").alias("src"), F.col("m").alias("dst")
     )
     self_link = nbrs.select(F.col("src"), F.col("m").alias("dst"))
-    return out.unionByName(self_link).where(F.col("src") != F.col("dst")).distinct()
+    return (
+        out.unionByName(self_link)
+        .where(F.col("src") != F.col("dst"))
+        .repartition("src")
+        .distinct()
+    )
+
+
+def _violations(after: DataFrame) -> DataFrame:
+    """Non-empty iff `after` is NOT a depth-1 star forest. Both subtrees
+    read the checkpointed round output: the multi-parent aggregation needs
+    no exchange (output is partitioned by src) and the role-intersection
+    semi-join broadcasts the (small) parent set under AQE."""
+    multi_parent = (
+        after.groupBy("src")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .select(F.col("src").alias("v"))
+    )
+    both_roles = (
+        after.select("dst")
+        .join(after.select(F.col("src").alias("dst")), "dst", "left_semi")
+        .select(F.col("dst").alias("v"))
+    )
+    return multi_parent.unionByName(both_roles)
 
 
 def connected_components(
@@ -83,50 +128,49 @@ def connected_components(
     Each round is checkpointed (localCheckpoint locally; swap for reliable
     checkpoint/Iceberg snapshot on a cluster) — this bounds lineage AND works
     around a Spark 4.1 AttributeMap bug when checkpointing plans that union
-    a frame with a derivation of itself.
+    a frame with a derivation of itself. The INITIAL edge set is checkpointed
+    lazily (eager=False): it materializes inside round 1's job instead of as
+    a separate serial driver barrier.
 
     edges_unique=True skips the initial dedup shuffle — the stars tolerate
     duplicate edges, but deduping up front keeps per-round volume minimal,
     so only skip it when the caller guarantees uniqueness (e.g. one edge
     per resolved mention). Orienting (greatest, least) first makes a
     separate symmetrize pass unnecessary: the undirected edge set is fully
-    described by its canonical orientation."""
+    described by its canonical orientation.
+
+    On convergence the result is assembled WITHOUT a global aggregation:
+    the forest rows are already one-per-child, and roots (parents) never
+    appear as children, so (children ∪ roots) has unique nodes by
+    construction — the old groupBy(node).min() full shuffle is dropped.
+
+    Raises RuntimeError if max_rounds is exhausted before convergence
+    (returning the unconverged state could silently split components)."""
     cur = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).where(F.col("src") != F.col("dst"))
     if not edges_unique:
         cur = cur.distinct()
-    cur = cur.localCheckpoint(eager=True)
+    cur = cur.localCheckpoint(eager=False)
+    converged = False
     for _ in range(max_rounds):
-        after_small = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        cur = after_small
-        # Converged iff the oriented edge set is a depth-1 star forest:
-        # no node appears as both a child (src) and a parent (dst). Such a
-        # forest is provably a fixpoint of large-star∘small-star (each
-        # star's center is its component minimum under the (greatest,least)
-        # orientation), so this ABSOLUTE test replaces the usual
-        # compare-with-previous-round fingerprint and saves one entire
-        # confirmation round per job — on star-shaped inputs that is ~40%
-        # of the rounds.
-        is_forest = (
-            after_small.select("dst")
-            .join(
-                after_small.select(F.col("src").alias("dst")),
-                "dst",
-                "left_semi",
-            )
-            .isEmpty()
-        )
-        if is_forest:
+        after = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        cur = after
+        if _violations(after).isEmpty():
+            converged = True
             break
-    # cur is a forest of depth 1: (node -> root)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    # cur is a forest of depth 1: (node -> root), one row per node, and no
+    # root appears as a node — the union below is duplicate-free.
     comp = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
-    roots = comp.select(F.col("component").alias("node")).distinct().withColumn(
-        "component", F.col("node")
+    roots = (
+        cur.select("dst").distinct()
+        .select(F.col("dst").alias("node"), F.col("dst").alias("component"))
     )
-    return comp.unionByName(roots).groupBy("node").agg(
-        F.min("component").alias("component")
-    )
+    return comp.unionByName(roots)
 
 
 def cluster_assignments(resolved: DataFrame) -> DataFrame:

@@ -30,7 +30,20 @@ def get_spark(
     if master == "local[$SPARK_GRAFT_CPUS]" or (master == "local[*]" and cpus):
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "96"))
+
+    # scan parallelism: split files so every core gets work even on small
+    # local inputs. Spark's split size is max(openCostInBytes, bytes/minPartitionNum)
+    # capped at maxPartitionBytes; the 4 MB openCost default dates from
+    # spinning-disk HDFS and floors a 60 MB table at ~15 splits — starving a
+    # 32-core machine (measured: the doc-embedding UDF stage ran 15 tasks on
+    # 32 cores). 1 MB lets split count track cluster size; at 100 TB inputs
+    # have thousands of >=128 MB splits and neither knob matters.
+    n_cores = os.cpu_count() or 8
+    if master.startswith("local["):
+        inner = master[6:-1]
+        if inner.isdigit():
+            n_cores = int(inner)
 
     b = (
         SparkSession.builder.appName(app_name)
@@ -45,6 +58,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
+        .config("spark.sql.files.minPartitionNum", str(2 * n_cores))
     )
     # shuffle/checkpoint spill directory: this sandbox's virtual disk is
     # IOPS-throttled and shared, which makes shuffle-heavy stages both slow

@@ -36,6 +36,24 @@ def test_long_path_log_rounds(spark):
     assert _components(spark, edges) == [list(range(65))]
 
 
+def test_multi_parent_round_output_not_accepted_as_converged(spark):
+    """Regression: path 1-10-3-20-2 is ONE component, but after one
+    large+small round the edge set is {(3,1),(3,2),(10,1),(20,2)} — node 3
+    has TWO parents. That state passes the naive 'no node is both child and
+    parent' test, and stopping there splits {2,20} from {1,3,10}. The
+    convergence test must also require one parent per child."""
+    assert _components(spark, [(10, 1), (10, 3), (20, 3), (20, 2)]) == [
+        [1, 2, 3, 10, 20]
+    ]
+
+
+def test_bridge_between_two_stars(spark):
+    # two hub stars joined by a bridge node — another multi-parent shape
+    edges = [(100, i) for i in range(1, 5)] + [(200, i) for i in range(5, 9)]
+    edges += [(100, 50), (200, 50)]
+    assert _components(spark, edges) == [[1, 2, 3, 4, 5, 6, 7, 8, 50, 100, 200]]
+
+
 def test_component_label_is_min_id(spark):
     df = spark.createDataFrame([(5, 9), (9, 3)], "src long, dst long")
     rows = connected_components(df).collect()
