@@ -17,5 +17,6 @@ COREF_CAP = 0.80
 COREF_FLOOR = 0.05
 
 W_PRIOR = 0.4
-W_JW = 0.4
+W_JW = 0.3
+W_LEV = 0.1
 W_COS = 0.2

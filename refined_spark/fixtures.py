@@ -360,3 +360,175 @@ def generate_raw_dumps(out_dir: str, n_entities: int = 50, seed: int = 42) -> di
             f.write(f'"{e["label"].upper()}"\t{e["label"].replace(" ", "_")}\n')
 
     return {"entity_dump": dump_path, "redirect_sql": sql_path, "alias_tsv": tsv_path}
+
+
+def generate_eval_datasets(out_dir: str, n_docs: int = 60, seed: int = 42) -> dict[str, str]:
+    """Synthetic eval-dataset fixtures in the three JSONL shapes the
+    reference's dataset readers consume (SURVEY §2.1 S5; reference
+    dataset_factory.py:21-114 AIDA, :116-184 standard, :262-320 WebQSP):
+
+      - aida.jsonl:     {"text", "spans": [{"start","length","uris":[...]}]}
+                        uris mix wikipedia links, foreign-KB links and [].
+      - standard.jsonl: {"text", "mentions": [{"start","length","wiki_name"}]}
+                        wiki_name mixes titles (with spaces), "NIL" and null.
+      - webqsp.jsonl:   {"text", "mentions": [[s,e],...], "wikidata_id":[...]}
+      - wiki_qcode.jsonl / redirects.jsonl / disambig.jsonl: the
+        title->qcode mapping side (J2/J3 shapes), including titles that
+        only resolve through a redirect hop and disambiguation qcodes that
+        the filter_not_in_kb path must drop.
+
+    Deterministic for a given seed — used by both the Spark readers and the
+    DuckDB oracle in the driver's correctness harness."""
+    import json
+
+    rng = random.Random(seed + 7)
+    entities, _hot = build_entities(40, rng)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def title(e):
+        return e["label"].replace(" ", "_")
+
+    # mapping side: every 7th entity is reachable only via redirect;
+    # every 11th qcode is a disambiguation page (reader must drop it)
+    wiki_rows = [{"wiki_title": title(e), "qcode": e["qcode"]} for e in entities]
+    redirect_rows = [
+        {"src_title": title(e) + "_(old)", "dest_title": title(e)}
+        for i, e in enumerate(entities) if i % 7 == 0
+    ]
+    disambig_rows = [{"qcode": e["qcode"]}
+                     for i, e in enumerate(entities) if i % 11 == 5]
+    for name, rows in (("wiki_qcode", wiki_rows), ("redirects", redirect_rows),
+                       ("disambig", disambig_rows)):
+        with open(f"{out_dir}/{name}.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    filler = ["reported", "today", "that", "officials", "met", "near",
+              "the", "river", "before", "talks", "resumed", "quietly"]
+    aida, standard, webqsp = [], [], []
+    for d in range(n_docs):
+        toks, spans = [], []
+        pos = 0
+        n_ments = 2 + rng.randrange(3)
+        for m in range(n_ments):
+            for _ in range(rng.randrange(3)):
+                w = filler[rng.randrange(len(filler))]
+                toks.append(w)
+                pos += len(w) + 1
+            e = entities[rng.randrange(len(entities))]
+            surface = e["label"] if rng.random() < 0.7 else e["label"].split()[-1]
+            toks.append(surface)
+            spans.append({"start": pos, "length": len(surface),
+                          "surface": surface, "entity": e})
+            pos += len(surface) + 1
+        text = " ".join(toks)
+
+        def uri_for(sp, i):
+            r = (d * 31 + i) % 10
+            t = title(sp["entity"])
+            if r < 6:
+                return [f"http://en.wikipedia.org/wiki/{t}"]
+            if r == 6:    # redirect-only link
+                return [f"http://en.wikipedia.org/wiki/{t}_(old)"]
+            if r == 7:    # unmappable page
+                return [f"http://en.wikipedia.org/wiki/No_Such_Page_{i}"]
+            if r == 8:    # foreign KB only -> skipped by the reader
+                return [f"http://de.wikipedia.org/wiki/{t}"]
+            return []     # unlinked mention -> skipped
+
+        aida.append({"text": text, "spans": [
+            {"start": sp["start"], "length": sp["length"],
+             "uris": uri_for(sp, i)} for i, sp in enumerate(spans)]})
+
+        def wiki_name_for(sp, i):
+            r = (d * 17 + i) % 8
+            if r == 5:
+                return "NIL"
+            if r == 6:
+                return None
+            if r == 7:
+                return f"No Such Page {i}"
+            return sp["entity"]["label"]  # spaces: reader converts to _
+
+        standard.append({"text": text, "mentions": [
+            {"start": sp["start"], "length": sp["length"],
+             "wiki_name": wiki_name_for(sp, i)} for i, sp in enumerate(spans)]})
+
+        webqsp.append({"text": text,
+                       "mentions": [[sp["start"], sp["start"] + sp["length"]]
+                                    for sp in spans],
+                       "wikidata_id": [sp["entity"]["qcode"] for sp in spans]})
+
+    for name, rows in (("aida", aida), ("standard", standard), ("webqsp", webqsp)):
+        with open(f"{out_dir}/{name}.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    # wikipages: anchor-tagged wiki-extractor-shaped pages for F4 (anchor
+    # extraction + offset rebasing) and J5 (main-entity weak labels).
+    # Built part-by-part so the CLEAN-text offsets of the md spans are
+    # known exactly. URIs exercise: plain title, %20-encoded spaces,
+    # lowercase first letter (title_to_key_col), redirect-only titles.
+    wikipages = []
+    for i, e in enumerate(entities[:30]):
+        o1 = entities[(i * 3 + 1) % len(entities)]
+        o2 = entities[(i * 5 + 2) % len(entities)]
+
+        def uri_of(ent, j):
+            t = title(ent)
+            r = (i + j) % 4
+            if r == 1:
+                return t.replace("_", "%20")
+            if r == 2 and (entities.index(ent) % 7 == 0):
+                return t + "_(old)"
+            if r == 3:
+                return t[0].lower() + t[1:]
+            return t
+
+        raw_parts, clean_parts, md = [], [], []
+        pos = 0
+
+        def plain(s, is_md=False):
+            nonlocal pos
+            raw_parts.append(s)
+            clean_parts.append(s)
+            if is_md:
+                md.append({"start": pos, "ln": len(s), "text": s})
+            pos += len(s)
+
+        def anchor(ent, j):
+            nonlocal pos
+            surf = ent["label"]
+            raw_parts.append(f'<a href="{uri_of(ent, j)}">{surf}</a>')
+            clean_parts.append(surf)
+            pos += len(surf)
+
+        plain(e["label"], is_md=True)        # offset-0 main-entity rule
+        plain(" visited ")
+        anchor(o1, 0)
+        plain(" and spoke with ")
+        anchor(o2, 1)
+        if e["is_human"]:
+            plain(" before ")
+            plain(e["label"].split()[-1], is_md=True)   # surname match
+            plain(" returned")
+        plain(" to the region quietly ")
+        plain("yesterday", is_md=True)       # md span matching no label
+        wikipages.append({"title": title(e),
+                          "text": "".join(raw_parts) + "\n\n",
+                          "md_spans": md})
+    with open(f"{out_dir}/wikipages.jsonl", "w") as f:
+        for r in wikipages:
+            f.write(json.dumps(r) + "\n")
+
+    with open(f"{out_dir}/entity_meta.jsonl", "w") as f:
+        for e in entities:
+            f.write(json.dumps({"qcode": e["qcode"], "label": e["label"]}) + "\n")
+    with open(f"{out_dir}/humans.jsonl", "w") as f:
+        for e in entities:
+            if e["is_human"]:
+                f.write(json.dumps({"qcode": e["qcode"]}) + "\n")
+
+    return {k: f"{out_dir}/{k}.jsonl"
+            for k in ["aida", "standard", "webqsp", "wiki_qcode", "redirects",
+                      "disambig", "wikipages", "entity_meta", "humans"]}

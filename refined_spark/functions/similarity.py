@@ -80,6 +80,49 @@ def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def levenshtein_py(a: str | None, b: str | None) -> int:
+    """Pure-Python edit distance (oracle twin of Spark's builtin
+    F.levenshtein). Classic two-row DP."""
+    if a is None or b is None:
+        return max(len(a or ""), len(b or ""))
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (0 if ca == b[j - 1] else 1),
+            )
+        prev = cur
+    return prev[lb]
+
+
+def lev_sim_py(a: str | None, b: str | None) -> float:
+    """Normalized Levenshtein similarity: 1 - dist / max(len). Empty-vs-
+    empty is 1.0 (the max(...,1) guard — same as the column twin)."""
+    a = a or ""
+    b = b or ""
+    return 1.0 - levenshtein_py(a, b) / max(len(a), len(b), 1)
+
+
+def lev_sim_col(a: Column, b: Column) -> Column:
+    """JVM/codegen twin of lev_sim_py: Spark's builtin levenshtein (F11's
+    second kernel, north rule 'Jaro-Winkler/Levenshtein'). Integer distance
+    and lengths -> the double division is bit-identical to Python's."""
+    aa = F.coalesce(a, F.lit(""))
+    bb = F.coalesce(b, F.lit(""))
+    return F.lit(1.0) - F.levenshtein(aa, bb) / F.greatest(
+        F.length(aa), F.length(bb), F.lit(1)
+    )
+
+
 def dot_col(a: Column, b: Column) -> Column:
     """JVM-side dot product over two array<float|double> columns.
     Cast to double first so Spark and DuckDB accumulate identically."""

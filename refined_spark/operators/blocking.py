@@ -122,8 +122,9 @@ def lsh_candidate_join(
     )
 
     cand = verified.join(maybe_broadcast(flat), "surface_form")
-    has_jw = "jw" in flat.columns
-    extra = ["prior", "rank"] + (["jw"] if has_jw else [])
+    feat = [c for c in ("jw", "lev") if c in flat.columns]
+    has_jw = bool(feat)
+    extra = ["prior", "rank"] + feat
     best = F.max_by(
         F.struct(*[F.col(c) for c in extra]),
         F.struct(F.col("prior"), F.col("_jac"), F.col("surface_form")),
@@ -138,23 +139,20 @@ def lsh_candidate_join(
     if not has_jw or entity_meta is None:
         return deduped
     from refined_spark.functions.normalize import normalize_surface_udf
-    from refined_spark.functions.similarity import jaro_winkler_udf
+    from refined_spark.functions.similarity import jaro_winkler_udf, lev_sim_col
 
     meta = entity_meta.select(
         "qcode", normalize_surface_udf(F.col("label")).alias("norm_label")
     )
-    return (
-        deduped.drop("jw")
-        .join(maybe_broadcast(meta), "qcode", "left")
-        .withColumn(
-            "jw",
-            jaro_winkler_udf(
-                F.col("block_key"), F.coalesce(F.col("norm_label"), F.lit(""))
-            ),
-        )
-        .drop("norm_label")
-        .select(*mention_cols, "qcode", *extra)
-    )
+    lbl = F.coalesce(F.col("norm_label"), F.lit(""))
+    feat_exprs = {
+        "jw": jaro_winkler_udf(F.col("block_key"), lbl),
+        "lev": lev_sim_col(F.col("block_key"), lbl),
+    }
+    out = deduped.drop(*feat).join(maybe_broadcast(meta), "qcode", "left")
+    for c in feat:
+        out = out.withColumn(c, feat_exprs[c])
+    return out.drop("norm_label").select(*mention_cols, "qcode", *extra)
 
 
 def candidate_join_with_lsh_fallback(
@@ -178,7 +176,8 @@ def candidate_join_with_lsh_fallback(
     hits = exact.where(F.col("qcode").isNotNull())
     # mentions that stay missed in BOTH channels keep their null row
     null_typed = {
-        "qcode": "string", "prior": "double", "rank": "int", "jw": "double",
+        "qcode": "string", "prior": "double", "rank": "int",
+        "jw": "double", "lev": "double",
     }
     still_null = missed.join(
         fuzzy.select("mention_id").distinct(), "mention_id", "left_anti"

@@ -62,10 +62,9 @@ def propagate_person_coref(
     dictionary), donated rows get theirs computed here against
     `entity_meta` — the donated pair set is tiny, so this is the only place
     the string kernel runs per-corpus."""
-    has_jw = "jw" in candidates.columns
-    cols = ["doc_id", "mention_id", "block_key", "offset", "qcode", "prior"] + (
-        ["jw"] if has_jw else []
-    )
+    feat = [c for c in ("jw", "lev") if c in candidates.columns]
+    has_jw = bool(feat)
+    cols = ["doc_id", "mention_id", "block_key", "offset", "qcode", "prior"] + feat
     toks = F.split(F.col("block_key"), " ")
 
     # only single-token mentions can RECEIVE donations — multi-token rows
@@ -116,17 +115,20 @@ def propagate_person_coref(
             raise ValueError("candidates carry jw — entity_meta required "
                              "to score donated rows")
         from refined_spark.functions.normalize import normalize_surface_udf
-        from refined_spark.functions.similarity import jaro_winkler_udf
+        from refined_spark.functions.similarity import jaro_winkler_udf, lev_sim_col
 
         # same normalization kernel as mentions/oracle (SURVEY §7.4.2)
         meta = entity_meta.select(
             "qcode", normalize_surface_udf(F.col("label")).alias("norm_label")
         )
+        lbl = F.coalesce(F.col("norm_label"), F.lit(""))
+        feat_exprs = {
+            "jw": jaro_winkler_udf(F.col("block_key"), lbl).alias("jw"),
+            "lev": lev_sim_col(F.col("block_key"), lbl).alias("lev"),
+        }
         donated = donated.join(maybe_broadcast(meta), "qcode", "left").select(
-            *[c for c in cols if c != "jw"],
-            jaro_winkler_udf(
-                F.col("block_key"), F.coalesce(F.col("norm_label"), F.lit(""))
-            ).alias("jw"),
+            *[c for c in cols if c not in feat],
+            *[feat_exprs[c] for c in feat],
         )
     # donated is referenced three times below (mention-id set, union);
     # cache so its subtree (donor agg + receiver join) runs once — it is
@@ -151,7 +153,7 @@ def propagate_person_coref(
     # dropped array-side in the same pass. This keeps the plan a tree — an
     # anti-join formulation would reference the merge multiple times, and
     # Spark does not common-subexpression-eliminate across union branches.
-    cand_fields = ["qcode", "prior"] + (["jw"] if has_jw else [])
+    cand_fields = ["qcode", "prior"] + feat
     packed = (
         touched.unionByName(donated)
         .groupBy("doc_id", "mention_id", "block_key", "offset")
@@ -168,11 +170,11 @@ def propagate_person_coref(
     # dedupe qcode keeping best prior: explode + re-group — the second
     # groupBy's keys are a superset of the first's, so hash partitioning is
     # already satisfied and Catalyst plans NO additional exchange
-    # jw depends only on (block_key, qcode), so within the group every row
-    # carries the same value — max() is just a pick
-    aggs = [F.max("c.prior").alias("prior")] + (
-        [F.max("c.jw").alias("jw")] if has_jw else []
-    )
+    # jw/lev depend only on (block_key, qcode), so within the group every
+    # row carries the same value — max() is just a pick
+    aggs = [F.max("c.prior").alias("prior")] + [
+        F.max(f"c.{c}").alias(c) for c in feat
+    ]
     merged = (
         cleaned.select(
             "doc_id", "mention_id", "block_key", "offset", F.explode("cs").alias("c")

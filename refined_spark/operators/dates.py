@@ -20,7 +20,7 @@ Spark shape:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
@@ -99,6 +99,49 @@ def parse_date_dayfirst_udf(texts: pd.Series) -> pd.DataFrame:
             "known_format": None, "ambiguous": None}
            for t in texts]
     return pd.DataFrame(out)
+
+
+DATE_SPLIT_RE = r"\s?--\s?| - | to "
+
+
+def split_date_ranges(
+    date_mentions: DataFrame, text_col: str = "text", id_col: str = "mention_id"
+) -> DataFrame:
+    """Operator F6 (range split) — '1988 to 1999' is TWO dates. Mirrors
+    the reference's _split_date_text (/root/reference/src/refined/
+    utilities/numeric_handling/date_utils.py:105,162-181): split on
+    ' -- ' / ' - ' / ' to ', keeping each part's character offset within
+    the original span text.
+
+    Spark shape: split() gives the parts, regexp_extract_all the
+    delimiters; part i's offset is the exclusive prefix sum of
+    len(part_j)+len(delim_j) — one per-mention window, all built-ins.
+    Output: input columns (minus text) + (part_idx, part_text,
+    part_offset); single-date spans pass through as one row with
+    offset 0."""
+    carried = [c for c in date_mentions.columns if c != text_col]
+    parts = date_mentions.select(
+        *carried,
+        F.split(text_col, DATE_SPLIT_RE).alias("__segs"),
+        F.regexp_extract_all(
+            text_col, F.lit(f"({DATE_SPLIT_RE})"), 1
+        ).alias("__delims"),
+    )
+    ex = parts.select(
+        *carried,
+        "__delims",
+        F.posexplode("__segs").alias("part_idx", "part_text"),
+    )
+    contrib = F.length("part_text") + F.coalesce(
+        F.length(F.try_element_at("__delims", F.col("part_idx") + 1)), F.lit(0)
+    )
+    w = Window.partitionBy(id_col).orderBy("part_idx")
+    return ex.select(
+        *carried,
+        "part_idx",
+        "part_text",
+        (F.sum(contrib).over(w) - contrib).alias("part_offset"),
+    )
 
 
 def resolve_date_spans(date_mentions: DataFrame) -> DataFrame:

@@ -47,3 +47,55 @@ def cluster_pairs(assign_with_block: DataFrame) -> DataFrame:
     """(mention_id, cluster_id, block_key) -> unordered same-cluster,
     same-block-key pairs."""
     return pairs_within(assign_with_block, ["cluster_id", "block_key"])
+
+
+def filter_nil_spans(predictions: DataFrame, md_spans: DataFrame) -> DataFrame:
+    """Operator P8 — drop predictions that align with dataset NIL spans
+    (/root/reference/src/refined/evaluation/evaluation.py:84-92: mentions
+    annotated in the dataset but not linked to any KB entity; models are
+    unfairly penalized for linking them, hence the published
+    filter_nil_spans=True AIDA number). A NIL span is an md_span with no
+    gold qcode; alignment is on (doc, span text, start). One anti-join."""
+    nil = md_spans.where(F.col("qcode").isNull()).select(
+        "doc_id", "span_text", "start"
+    )
+    return predictions.join(nil, ["doc_id", "span_text", "start"], "left_anti")
+
+
+def gold_recall(gold_spans: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Operator J9 — the gold-in-candidates counter
+    (/root/reference/src/refined/evaluation/evaluation.py:40-41): of the
+    gold-labeled mentions, how many have their gold entity among the
+    generated candidates? Separates blocking misses (gold never retrieved)
+    from scoring misses (retrieved but out-scored).
+
+    gold_spans: (mention_id, qcode) gold labels;
+    candidates: (mention_id, qcode) one row per candidate.
+    Returns one row: (n_gold, n_gold_in_candidates, gold_recall).
+    Plan: one semi-join + two counts folded into a single aggregate."""
+    g = gold_spans.select("mention_id", F.col("qcode").alias("gold_qcode"))
+    hit = (
+        g.join(
+            candidates.select(
+                "mention_id", F.col("qcode").alias("gold_qcode")
+            ),
+            ["mention_id", "gold_qcode"],
+            "left_semi",
+        )
+        .select("mention_id")
+        .withColumn("in_cands", F.lit(1))
+    )
+    return (
+        g.join(hit, "mention_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_gold"),
+            F.coalesce(F.sum("in_cands"), F.lit(0)).alias("n_gold_in_candidates"),
+        )
+        .select(
+            "n_gold",
+            "n_gold_in_candidates",
+            F.round(
+                F.col("n_gold_in_candidates") / F.col("n_gold"), 6
+            ).alias("gold_recall"),
+        )
+    )

@@ -87,11 +87,14 @@ def pem_flat(pem: DataFrame) -> DataFrame:
 
 
 def attach_jw(flat: DataFrame, entity_meta: DataFrame) -> DataFrame:
-    """Precompute jaro_winkler(surface_form, normalized entity label) as a
-    DICTIONARY attribute: it depends only on the (surface_form, qcode) pair,
-    so it belongs in the PEM build, not in a per-corpus scoring pass. At
-    10^12 docs this turns 10^12 string-kernel evaluations into |dictionary|
-    (~10^8) — computed once per dictionary refresh.
+    """Precompute the string-similarity features — jaro_winkler and
+    normalized levenshtein of (surface_form, normalized entity label) — as
+    DICTIONARY attributes: they depend only on the (surface_form, qcode)
+    pair, so they belong in the PEM build, not in a per-corpus scoring
+    pass. At 10^12 docs this turns 10^12 string-kernel evaluations into
+    |dictionary| (~10^8) — computed once per dictionary refresh.
+    Levenshtein is Spark's builtin (JVM/codegen); only JW needs the Arrow
+    UDF. North rule: 'batched Jaro-Winkler/Levenshtein'.
 
     Labels are normalized with the SAME kernel as mentions
     (normalize_surface_udf, the shared Python/oracle kernel) — a split
@@ -99,19 +102,16 @@ def attach_jw(flat: DataFrame, entity_meta: DataFrame) -> DataFrame:
     outside the builtin approximation's domain (SURVEY §7.4.2)."""
     from refined_spark.functions.joins import maybe_broadcast
     from refined_spark.functions.normalize import normalize_surface_udf
-    from refined_spark.functions.similarity import jaro_winkler_udf
+    from refined_spark.functions.similarity import jaro_winkler_udf, lev_sim_col
 
     meta = entity_meta.select(
         "qcode", normalize_surface_udf(F.col("label")).alias("norm_label")
     )
+    lbl = F.coalesce(F.col("norm_label"), F.lit(""))
     return (
         flat.join(maybe_broadcast(meta), "qcode", "left")
-        .withColumn(
-            "jw",
-            jaro_winkler_udf(
-                F.col("surface_form"), F.coalesce(F.col("norm_label"), F.lit(""))
-            ),
-        )
+        .withColumn("jw", jaro_winkler_udf(F.col("surface_form"), lbl))
+        .withColumn("lev", lev_sim_col(F.col("surface_form"), lbl))
         .drop("norm_label")
     )
 

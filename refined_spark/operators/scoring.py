@@ -6,7 +6,11 @@ model_components/entity_disambiguation_layer.py:36-119 and ed_layer_2.py:
 
     score = W_PRIOR * prior
           + W_JW    * jaro_winkler(block_key, normalized entity label)
+          + W_LEV   * lev_sim(block_key, normalized entity label)
           + W_COS   * max(cosine(mention_context_emb, entity_emb), 0)
+
+  (lev_sim = normalized Levenshtein, Spark's builtin JVM kernel — the
+  north rule's 'Jaro-Winkler/Levenshtein' pair, F11)
 
 - The entity side arrives via one hash join to entity_meta/entity_embeddings
   (J8 — the distributed analog of the reference's memmap row gather,
@@ -31,11 +35,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType
 
-from refined_spark.config import ED_THRESHOLD, W_COS, W_JW, W_PRIOR
+from refined_spark.config import ED_THRESHOLD, W_COS, W_JW, W_LEV, W_PRIOR
 from refined_spark.fixtures import hash_embed_batch
 from refined_spark.functions.joins import maybe_broadcast
 from refined_spark.functions.normalize import normalize_surface_udf
-from refined_spark.functions.similarity import cosine_seq_udf, jaro_winkler_udf
+from refined_spark.functions.similarity import (
+    cosine_seq_udf,
+    jaro_winkler_udf,
+    lev_sim_col,
+)
 
 
 @pandas_udf(ArrayType(DoubleType()))
@@ -90,6 +98,7 @@ def score_candidates(
         meta = entity_meta.select(
             "qcode", normalize_surface_udf(F.col("label")).alias("norm_label")
         )
+        lbl = F.coalesce(F.col("norm_label"), F.lit(""))
         jw_tbl = (
             candidates.where(F.col("qcode").isNotNull())
             .select("block_key", "qcode")
@@ -98,9 +107,8 @@ def score_candidates(
             .select(
                 "block_key",
                 "qcode",
-                jaro_winkler_udf(
-                    F.col("block_key"), F.coalesce(F.col("norm_label"), F.lit(""))
-                ).alias("jw"),
+                jaro_winkler_udf(F.col("block_key"), lbl).alias("jw"),
+                lev_sim_col(F.col("block_key"), lbl).alias("lev"),
             )
         )
         scored = (
@@ -120,6 +128,7 @@ def score_candidates(
             F.when(F.col("qcode").isNull(), F.lit(None)).otherwise(
                 F.lit(W_PRIOR) * F.col("prior")
                 + F.lit(W_JW) * F.col("jw")
+                + F.lit(W_LEV) * F.col("lev")
                 + F.lit(W_COS) * F.greatest(F.col("cos"), F.lit(0.0))
             ),
         )

@@ -103,6 +103,79 @@ def doc_text(documents: DataFrame) -> DataFrame:
     )
 
 
+def correct_spans(spans: DataFrame) -> DataFrame:
+    """Operator P5 — the reference's span-correction rules
+    (/root/reference/src/refined/utilities/general_utils.py:144-209),
+    applied to every EL-mode document before inference. Input: one row per
+    span (doc_id, start, ln, text). Rules, in reference order:
+
+      1. drop spans whose text is a single char, pure "\\n\\n"(x1-2 more),
+         or "the";
+      2. for spans longer than 2 chars: strip up to TWO leading and TWO
+         trailing newlines (adjusting start/ln), then an unbalanced
+         leading or trailing double-quote, then drop if the remainder is
+         "the";
+      3. a span at offset 0 containing exactly one "\\n\\n" is a glued
+         title+first-mention — split it into two spans.
+
+    Pure built-in expressions: column rewrites + one explode for the split
+    case. (The reference mutates the list during iteration — remove() while
+    iterating — which can skip the element after a removal; this operator
+    implements the documented intent: every span is tested.)"""
+    t0, s0 = F.col("text"), F.col("start")
+    kept = spans.where(
+        ~(
+            (F.length(t0) == 1)
+            | t0.isin("\n\n", "\n\n\n", "\n\n\n\n")
+            | (t0 == "the")
+        )
+    )
+    # step 2 (len > 2 branch): each strip is conditional; short spans pass
+    # through untouched
+    big = F.length(t0) > 2
+    lead = F.when(big, F.length(F.regexp_extract(t0, r"^(\n{1,2})", 1))).otherwise(F.lit(0))
+    t1 = F.substring(t0, lead + 1, F.length(t0) - lead)
+    s1 = s0 + lead
+    trail = F.when(big, F.length(F.regexp_extract(t1, r"(\n{1,2})$", 1))).otherwise(F.lit(0))
+    t2 = F.substring(t1, 1, F.length(t1) - trail)
+    lq = F.when(
+        big & t2.startswith('"') & ~t2.endswith('"'), F.lit(1)
+    ).otherwise(F.lit(0))
+    t3 = F.substring(t2, lq + 1, F.length(t2) - lq)
+    s3 = s1 + lq
+    tq = F.when(
+        big & t3.endswith('"') & ~t3.startswith('"'), F.lit(1)
+    ).otherwise(F.lit(0))
+    t4 = F.substring(t3, 1, F.length(t3) - tq)
+
+    fixed = kept.select(
+        "doc_id", s3.alias("start"), t4.alias("text")
+    ).where(F.col("text") != "the")
+
+    # step 3: split a glued offset-0 span on its single "\n\n"
+    t, s = F.col("text"), F.col("start")
+    two_nl = F.instr(t, "\n\n")
+    split_case = (s == 0) & (F.size(F.split(t, r"\n\n")) == 2)
+    first = F.split(t, r"\n\n")[0]
+    second = F.split(t, r"\n\n")[1]
+    pieces = F.when(
+        split_case,
+        F.array(
+            F.struct(F.lit(0).cast("long").alias("start"), first.alias("text")),
+            F.struct((two_nl + 1).cast("long").alias("start"), second.alias("text")),
+        ),
+    ).otherwise(F.array(F.struct(s.cast("long").alias("start"), t.alias("text"))))
+    return (
+        fixed.select("doc_id", F.explode(pieces).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.start").alias("start"),
+            F.length("p.text").cast("long").alias("ln"),
+            F.col("p.text").alias("text"),
+        )
+    )
+
+
 def merge_spans_overlap(
     prioritized: DataFrame, additional: DataFrame
 ) -> DataFrame:

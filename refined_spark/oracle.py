@@ -12,8 +12,9 @@ Decision rule per mention (reference semantics, re-expressed):
                  that appears among a donor's name tokens
        donation = (qcode, min(prior, COREF_CAP)); merge with direct candidates
                  keeping max prior per qcode
-  4. features: prior, jaro_winkler(block_key, norm(label)), cosine(mention_emb, entity_emb)
-  5. score = W_PRIOR*prior + W_JW*jw + W_COS*max(cos, 0)
+  4. features: prior, jaro_winkler(block_key, norm(label)),
+     lev_sim(block_key, norm(label)), cosine(mention_emb, entity_emb)
+  5. score = W_PRIOR*prior + W_JW*jw + W_LEV*lev + W_COS*max(cos, 0)
   6. winner = argmax score (ties -> smaller numeric qcode); NIL if score < ED_THRESHOLD
 Clusters = connected components over mentions sharing a winner entity.
 """
@@ -29,11 +30,12 @@ from refined_spark.config import (
     MAX_CANDIDATES,
     W_COS,
     W_JW,
+    W_LEV,
     W_PRIOR,
 )
 from refined_spark.fixtures import hash_embed
 from refined_spark.functions.normalize import normalize_surface_py
-from refined_spark.functions.similarity import jaro_winkler_py
+from refined_spark.functions.similarity import jaro_winkler_py, lev_sim_py
 
 
 def seq_dot(a, b) -> float:
@@ -105,8 +107,10 @@ def resolve_mentions(
             best_q, best_score = None, None
             for q, p in merged.items():
                 jw = jaro_winkler_py(m["block_key"], norm_label.get(q, ""))
+                lev = lev_sim_py(m["block_key"], norm_label.get(q, ""))
                 cos = cosine(mention_emb, entity_emb.get(q, []))
-                score = W_PRIOR * p + W_JW * jw + W_COS * max(cos, 0.0)
+                score = (W_PRIOR * p + W_JW * jw + W_LEV * lev
+                         + W_COS * max(cos, 0.0))
                 key = (-score, int(q[1:]))
                 if best_score is None or key < best_score:
                     best_score, best_q = key, q

@@ -46,3 +46,31 @@ def test_cosine_fold_order_parity(spark):
     rows = df.select(cosine_sim_col(F.col("a"), F.col("b")).alias("c")).collect()
     for (a, b), r in zip(vecs, rows):
         assert r.c == oracle_cosine(a, b)  # exact, same fold order
+
+
+def test_levenshtein_builtin_matches_py_kernel(spark):
+    """F11's second kernel: Spark's builtin levenshtein vs the oracle's
+    pure-Python DP, plus the normalized similarity column twin."""
+    from pyspark.sql import functions as F
+
+    from refined_spark.functions.similarity import (
+        lev_sim_col,
+        lev_sim_py,
+        levenshtein_py,
+    )
+
+    pairs = [
+        ("kitten", "sitting"), ("", ""), ("a", ""), ("", "b"),
+        ("alpha corp", "alpha corporation"), ("ost", "oest"),
+        ("exact", "exact"), ("ab", "ba"),
+    ]
+    assert levenshtein_py("kitten", "sitting") == 3
+    df = spark.createDataFrame(pairs, "a string, b string")
+    rows = df.select(
+        "a", "b",
+        F.levenshtein("a", "b").alias("d"),
+        lev_sim_col(F.col("a"), F.col("b")).alias("s"),
+    ).collect()
+    for r in rows:
+        assert r.d == levenshtein_py(r.a, r.b), (r.a, r.b)
+        assert r.s == lev_sim_py(r.a, r.b), (r.a, r.b)
