@@ -56,6 +56,13 @@ HEADLINE = [
     "event_sessionize",
     "bio_decode",
     "span_overlap_merge",
+    # corpus-scale round-2 operators (the fixture-file reader queries are
+    # micro-inputs and stay out of the headline)
+    "gold_recall",
+    "span_correction",
+    "nil_span_filter",
+    "date_range_split",
+    "levenshtein_sim",
 ]
 
 
@@ -184,7 +191,12 @@ def prep_stage_inputs(corpus: str) -> str:
     merged = coref.propagate_person_coref(
         cands, load("human_qcodes"), mentions=mentions, entity_meta=load("entity_meta")
     )
-    merged.write.mode("overwrite").parquet(f"{prep}/merged.parquet")
+    # row-balanced snapshot: the coref union's branches are wildly
+    # byte-skewed per row, and AQE sizes partitions by bytes — without
+    # this, 4 unsplittable fat files hold half the rows and their scan
+    # tasks gate the scoring stage at ANY core count
+    merged.repartition(96, "mention_id").write.mode("overwrite").parquet(
+        f"{prep}/merged.parquet")
 
     merged_back = spark.read.parquet(f"{prep}/merged.parquet")
     ctx = scoring.mention_context_embeddings(spans.doc_text(docs))
@@ -201,7 +213,8 @@ def prep_stage_inputs(corpus: str) -> str:
             F.concat(F.col("qcode"), F.lit("#"), F.col("shard")).alias("qcode"),
         )
     )
-    amp.write.mode("overwrite").parquet(f"{prep}/resolved_amp.parquet")
+    amp.repartition(96, "mention_id").write.mode("overwrite").parquet(
+        f"{prep}/resolved_amp.parquet")
     with open(marker, "w") as f:
         f.write("ok")
     spark.stop()
@@ -244,14 +257,15 @@ def stage_run(corpus: str, prep: str, stage: str, cores: int,
     if stage == "scoring":
         merged = spark.read.parquet(f"{prep}/merged.parquet")
         docs = load("documents")
-        meta, emb = load("entity_meta"), load("entity_embeddings")
+        emb = load("entity_embeddings")
         n_items = docs.count()  # docs/sec: the stage embeds every doc once
 
         def body():
+            # the engine's default path at dictionary scale (pipeline.run
+            # auto-selects it): fused cogrouped scoring+resolve — skinny
+            # Arrow rows, ctx shipped once per doc, argmax in-kernel
             ctx = scoring.mention_context_embeddings(spans.doc_text(docs))
-            materialize(
-                scoring.resolve(scoring.score_candidates(merged, meta, emb, ctx))
-            )
+            materialize(scoring.score_resolve_fused(merged, emb, ctx))
 
     elif stage == "clustering":
         resolved = spark.read.parquet(f"{prep}/resolved_amp.parquet")

@@ -45,6 +45,20 @@ def transitive_closure(edges: DataFrame, max_depth: int = 20) -> DataFrame:
     return closure
 
 
+def max_classes_width(entity_classes: DataFrame) -> int:
+    """Operator A7: the widest per-entity class list — the tensor width the
+    reference sizes its qcode->class memmap with
+    (generate_qcode_to_type_indices.py:47-58). One aggregate, one scalar.
+    entity_classes: (qcode, class_id) long form."""
+    row = (
+        entity_classes.groupBy("qcode")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("w"))
+        .collect()
+    )
+    return int(row[0]["w"]) if row and row[0]["w"] is not None else 0
+
+
 def prune_implied_classes(predicted: DataFrame, implied: DataFrame) -> DataFrame:
     """T4: minimal antichain — drop predicted classes that are ancestors of
     another predicted class for the same key (class_handler.py:87-102).

@@ -86,6 +86,23 @@ def pem_flat(pem: DataFrame) -> DataFrame:
     )
 
 
+def qcode_index(pem: DataFrame) -> DataFrame:
+    """Operator A4: enumerate every distinct qcode in the dictionary from 1
+    (the reference's qcode_to_idx build, preprocess_all.py:101-122 — it
+    packs qcodes into tensor row indices). Spark joins on qcode directly so
+    this exists only for embedding-matrix packing; the enumeration is a
+    zipWithIndex-free window over a sorted distinct set (deterministic,
+    unlike monotonically_increasing_id)."""
+    from pyspark.sql import Window
+
+    q = pem.select(F.explode("candidates").alias("c")).select(
+        F.col("c.qcode").alias("qcode")
+    ).distinct()
+    return q.withColumn(
+        "idx", F.row_number().over(Window.orderBy("qcode"))
+    )
+
+
 def attach_jw(flat: DataFrame, entity_meta: DataFrame) -> DataFrame:
     """Precompute the string-similarity features — jaro_winkler and
     normalized levenshtein of (surface_form, normalized entity label) — as

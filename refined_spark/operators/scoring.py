@@ -29,6 +29,7 @@ model_components/entity_disambiguation_layer.py:36-119 and ed_layer_2.py:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -133,6 +134,178 @@ def score_candidates(
             ),
         )
         .drop("ent_emb", "ctx_emb")
+    )
+
+
+RESOLVED_SCHEMA = (
+    "doc_id string, mention_id string, block_key string, offset int, "
+    "qcode string, score double"
+)
+
+# collecting the entity-embedding table to the driver (for the fused
+# broadcast-matrix kernel) is allowed up to this many bytes; beyond it the
+# row-join path (score_candidates + resolve) is the only safe plan — at
+# reference scale (33.8M x 300 fp16 ~ 20 GB) a driver gather would OOM,
+# exactly like the hard broadcast hints this engine already refuses.
+EMB_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
+
+def score_resolve_fused(
+    merged: DataFrame,
+    entity_embeddings: DataFrame,
+    ctx_emb: DataFrame,
+    threshold: float = ED_THRESHOLD,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Fused scoring + resolution for DICTIONARY-SCALE entity sets: one
+    cogrouped Arrow stage replaces the per-candidate embedding join, the
+    per-candidate ctx join, the cosine UDF pass, and the resolve shuffle.
+
+    Why: the row-join plan ships TWO dim-wide double arrays through Arrow
+    for every candidate row (~1 KB/row; profiled 40+ GB at 33.8M
+    candidates) — memory-bandwidth-bound, which is precisely what stops an
+    N->4N core scale-up (compute quadruples, the memory bus does not).
+    Here the per-row payload is just ids + 3 feature doubles (~10x less):
+
+      - candidates and doc-context embeddings are co-partitioned on a
+        doc-hash bucket (pmod(xxhash64(doc_id), B)) and cogrouped — each
+        doc's ctx vector crosses the wire ONCE per stage, not once per
+        candidate;
+      - the entity matrix rides in as a SparkContext broadcast (float64,
+        with per-entity seq-norms precomputed in the same dim-sequential
+        fold the oracle uses) — guarded by EMB_BROADCAST_MAX_BYTES, the
+        same size-aware policy as functions/joins.maybe_broadcast;
+      - cosine accumulates dimension-by-dimension (vectorized across rows)
+        — bit-identical to cosine_seq_udf and the oracle's seq_dot;
+      - the C5 argmax + P7 threshold run inside the kernel (every
+        candidate of a mention is in its doc's bucket), so the stage emits
+        resolved winners directly — no second shuffle.
+
+    Output == resolve(score_candidates(...)) exactly (tested row-for-row).
+    """
+    spark = merged.sparkSession
+    nb = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    pdf = entity_embeddings.select("qcode", "emb").toPandas()
+    mat = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in pdf["emb"]], dtype=np.float64
+    )
+    if mat.size and mat.nbytes > EMB_BROADCAST_MAX_BYTES:
+        raise ValueError(
+            f"entity matrix {mat.nbytes >> 20} MiB exceeds the fused-path "
+            "budget; use score_candidates + resolve (row-join plan)"
+        )
+    qindex = pd.Index(pdf["qcode"])
+    # numeric qcodes for the oracle's tie-break, precomputed once — never
+    # regex-parsed per candidate row
+    qnum = pd.to_numeric(
+        pdf["qcode"].str.replace("^Q", "", regex=True), errors="coerce"
+    ).to_numpy(dtype=np.float64, na_value=np.nan)
+    nb2 = np.zeros(len(mat))
+    for j in range(mat.shape[1] if mat.size else 0):
+        y = mat[:, j]
+        nb2 += y * y
+    bc = spark.sparkContext.broadcast((qindex, qnum, mat, nb2))
+    w_prior, w_jw, w_lev, w_cos = W_PRIOR, W_JW, W_LEV, W_COS
+
+    def kernel(mdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
+        if len(mdf) == 0:
+            return pd.DataFrame(
+                columns=["doc_id", "mention_id", "block_key", "offset",
+                         "qcode", "score"]
+            )
+        qindex_, qnum_, mat_, nb2_ = bc.value
+        n = len(mdf)
+        dim = mat_.shape[1] if mat_.size else 0
+
+        # per-bucket doc-context matrix: one row per doc, gathered per
+        # candidate row by integer index (local memory, not Arrow traffic)
+        doc_ids = pd.Index(cdf["ctx_doc_id"]) if len(cdf) else pd.Index([])
+        d_of_row = doc_ids.get_indexer(mdf["doc_id"])
+        if len(cdf) and dim:
+            ctx_mat = np.asarray(
+                [np.asarray(v, dtype=np.float64)
+                 if v is not None and len(v) == dim else np.zeros(dim)
+                 for v in cdf["ctx_emb"]],
+                dtype=np.float64,
+            )
+        else:
+            ctx_mat = np.zeros((max(len(cdf), 1), max(dim, 1)))
+
+        # vectorized hash probes (C, not per-row Python): entity row and
+        # numeric qcode per candidate
+        e_of_row = qindex_.get_indexer(mdf["qcode"])
+        valid = (e_of_row >= 0) & (d_of_row >= 0)
+        cos = np.zeros(n)
+        if valid.any() and dim:
+            ei = e_of_row[valid]
+            xm = ctx_mat[d_of_row[valid]]
+            ym = mat_[ei]
+            dot = np.zeros(len(ei))
+            na2 = np.zeros(len(ei))
+            for j in range(dim):
+                x = xm[:, j]
+                dot += x * ym[:, j]
+                na2 += x * x
+            den = np.sqrt(na2) * np.sqrt(nb2_[ei])
+            cos[valid] = np.where(den > 0, dot / np.where(den > 0, den, 1.0), 0.0)
+
+        prior = mdf["prior"].to_numpy(dtype=np.float64, na_value=np.nan)
+        jw = mdf["jw"].to_numpy(dtype=np.float64, na_value=np.nan)
+        lev = mdf["lev"].to_numpy(dtype=np.float64, na_value=np.nan)
+        score = (w_prior * prior + w_jw * jw + w_lev * lev
+                 + w_cos * np.maximum(cos, 0.0))
+        # dictionary-miss rows (null qcode) must score NaN even though the
+        # feature columns might be zero-filled upstream
+        score[~(e_of_row >= 0)] = np.where(
+            mdf["qcode"].isna().to_numpy()[~(e_of_row >= 0)], np.nan,
+            score[~(e_of_row >= 0)],
+        )
+
+        row_qnum = np.where(e_of_row >= 0, qnum_[np.clip(e_of_row, 0, None)],
+                            np.nan)
+        # candidates with a real qcode but no embedding row still need the
+        # numeric tie-break (classic resolve derives it from the string)
+        stray = (e_of_row < 0) & mdf["qcode"].notna().to_numpy()
+        if stray.any():
+            row_qnum[stray] = pd.to_numeric(
+                mdf["qcode"][stray].str.replace("^Q", "", regex=True),
+                errors="coerce",
+            ).to_numpy(dtype=np.float64, na_value=np.nan)
+        # C5 argmax with the oracle's tie-break (max score, then min qnum):
+        # one numpy lexsort (last key primary) + first-per-group mask —
+        # no pandas sort, no per-row Python. NaN scores sort last, so an
+        # all-miss mention keeps its NIL row.
+        codes, _ = pd.factorize(mdf["mention_id"], sort=False)
+        order = np.lexsort((row_qnum, -score, codes))
+        first = np.empty(n, dtype=bool)
+        first[0:1] = True
+        first[1:] = codes[order][1:] != codes[order][:-1]
+        pick = order[first]
+
+        sc = score[pick]
+        win = sc >= threshold  # P7 threshold (NaN -> False -> NIL)
+        qc = mdf["qcode"].to_numpy(dtype=object)[pick]
+        return pd.DataFrame({
+            "doc_id": mdf["doc_id"].to_numpy()[pick],
+            "mention_id": mdf["mention_id"].to_numpy()[pick],
+            "block_key": mdf["block_key"].to_numpy()[pick],
+            "offset": mdf["offset"].to_numpy()[pick],
+            "qcode": np.where(win, qc, None),
+            "score": sc,
+        })
+
+    bucket = F.pmod(F.xxhash64("doc_id"), F.lit(nb)).cast("int")
+    m = merged.withColumn("_b", bucket)
+    # rename the ctx side: merged and ctx_emb usually share lineage (both
+    # derive from `documents`), and cogroup would see ambiguous doc_id refs
+    c = ctx_emb.select(
+        F.col("doc_id").alias("ctx_doc_id"), "ctx_emb"
+    ).withColumn("_b", F.pmod(F.xxhash64("ctx_doc_id"), F.lit(nb)).cast("int"))
+    return (
+        m.groupBy("_b")
+        .cogroup(c.groupBy("_b"))
+        .applyInPandas(lambda _k, a, b: kernel(a, b), RESOLVED_SCHEMA)
     )
 
 

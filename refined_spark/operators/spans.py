@@ -103,6 +103,18 @@ def doc_text(documents: DataFrame) -> DataFrame:
     )
 
 
+def assemble_doc_spans(flat_spans: DataFrame, span_cols: list[str]) -> DataFrame:
+    """Operator A8: regroup flat per-span rows back into their documents as
+    an offset-ordered array — the reference's doc re-assembly after batch
+    inference (processor.py:266-271). One hash aggregate + a JVM array
+    sort; `span_cols` must start with the ordering column (offset/start)."""
+    return flat_spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(*[F.col(c) for c in span_cols]))
+        ).alias("spans")
+    )
+
+
 def correct_spans(spans: DataFrame) -> DataFrame:
     """Operator P5 — the reference's span-correction rules
     (/root/reference/src/refined/utilities/general_utils.py:144-209),

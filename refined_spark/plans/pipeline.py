@@ -40,9 +40,22 @@ def run(
     store: StageStore | None = None,
     salted: bool = False,
     lsh_blocking: bool = False,
+    entity_classes: DataFrame | None = None,
+    subclass_edges: DataFrame | None = None,
+    class_vocab: list[str] | None = None,
+    typing_threshold: float = 0.5,
+    fused_scoring: bool | None = None,
 ) -> DataFrame:
     """Returns (mention_id, doc_id, block_key, offset, qcode, score,
-    cluster_id). With a StageStore, each stage is committed/resumable."""
+    cluster_id[, failed_class_check]). With a StageStore, each stage is
+    committed/resumable.
+
+    Typing stage (opt-in, C3 -> T3/T4/T5): when entity_classes +
+    subclass_edges + class_vocab are given, each doc's context embedding
+    is typed (operators.classes.predict_types), the subclass closure is
+    computed once (T3), and every non-NIL winner gets the reference's
+    class-consistency flag (class_handler.py:104-118 semantics;
+    applied at processor.py:347-361)."""
 
     def stage(name: str, make, repartition_by: str | None = None) -> DataFrame:
         if store is None:
@@ -89,37 +102,105 @@ def run(
             lambda: pem.candidate_join(mentions, pem_df, entity_meta=entity_meta),
         )
 
+    # the coref output is a 3-way union whose branches AQE sizes by BYTES;
+    # the regrouped branch compresses ~50x better than the pass-through
+    # branches, so byte-balanced partitions are massively ROW-skewed — and
+    # parquet snapshots of it become unsplittable fat files that gate every
+    # downstream scan. Committing with an explicit mention_id repartition
+    # restores row balance (north rule: explicit repartitioning).
     merged = stage(
         "coref",
         lambda: coref.propagate_person_coref(
             candidates, human_qcodes, mentions=mentions, entity_meta=entity_meta
         ),
+        repartition_by="mention_id",
     )
     if store is not None:
         # the coref snapshot is committed (materialized) — drop the
         # intermediate `donated` cache so long-lived sessions don't leak it
         coref.release_cache()
 
-    def make_scored():
-        ctx = scoring.mention_context_embeddings(spans.doc_text(documents))
-        return scoring.score_candidates(merged, entity_meta, entity_embeddings, ctx)
+    # scoring path selection (size-aware, like the broadcast policy): the
+    # fused cogrouped kernel needs the entity matrix on the driver — legal
+    # only at dictionary scale (EMB_BROADCAST_MAX_BYTES); beyond that the
+    # row-join plan is the only safe shape.
+    use_fused = fused_scoring
+    if use_fused is None:
+        n_ent = entity_embeddings.count()
+        from refined_spark.fixtures import EMB_DIM
 
-    scored = stage("scored", make_scored)
-    resolved = stage("resolved", lambda: scoring.resolve(scored))
+        use_fused = n_ent * EMB_DIM * 8 <= scoring.EMB_BROADCAST_MAX_BYTES
+
+    if use_fused:
+        def make_resolved():
+            ctx = scoring.mention_context_embeddings(spans.doc_text(documents))
+            return scoring.score_resolve_fused(merged, entity_embeddings, ctx)
+
+        resolved = stage("resolved", make_resolved)
+    else:
+        def make_scored():
+            ctx = scoring.mention_context_embeddings(spans.doc_text(documents))
+            return scoring.score_candidates(
+                merged, entity_meta, entity_embeddings, ctx
+            )
+
+        scored = stage("scored", make_scored)
+        resolved = stage("resolved", lambda: scoring.resolve(scored))
     if store is None:
         # resolved feeds both the CC job and the final join — materialize it
         # once instead of recomputing the whole upstream twice
         resolved = resolved.localCheckpoint(eager=True)
     clusters = stage("clusters", lambda: clustering.cluster_assignments(resolved))
 
-    return resolved.join(clusters, "mention_id")
+    out = resolved.join(clusters, "mention_id")
+
+    if entity_classes is not None and class_vocab is not None:
+        from refined_spark.operators import classes as classes_mod
+        from refined_spark.operators.closure import (
+            class_consistency_flag,
+            transitive_closure,
+        )
+
+        emb_dim = len(
+            scoring.hash_embed_batch([""])[0]  # fixture embedding width
+        )
+        ctx = scoring.mention_context_embeddings(spans.doc_text(documents))
+        ptypes = classes_mod.predict_types(
+            ctx, class_vocab, emb_dim, threshold=typing_threshold
+        )
+        # mention-level predicted types = its doc's predicted types (the
+        # doc-context featurizer is shared with scoring)
+        m_types = out.select("mention_id", "doc_id").join(
+            ptypes, "doc_id"
+        ).select("mention_id", "class_id")
+        implied = (
+            transitive_closure(subclass_edges)
+            if subclass_edges is not None
+            else spark.createDataFrame([], "child string, ancestor string")
+        )
+        winners = out.where(F.col("qcode").isNotNull()).select(
+            "mention_id", "qcode"
+        )
+        flags = class_consistency_flag(
+            winners, entity_classes, implied, m_types
+        ).select("mention_id", "failed_class_check")
+        out = out.join(flags, "mention_id", "left")
+
+    return out
 
 
 def evaluate(
-    resolved_clusters: DataFrame, gold_mentions: DataFrame
+    resolved_clusters: DataFrame,
+    gold_mentions: DataFrame,
+    candidates: DataFrame | None = None,
 ) -> dict:
     """Pairwise F1 of predicted clusters vs gold entity labels, restricted
-    to pairs at the same blocking key (north-rule metric)."""
+    to pairs at the same blocking key (north-rule metric).
+
+    With `candidates` (one row per (mention_id, qcode) from the blocking
+    stage), also reports the J9 gold-recall counter
+    (evaluation.py:40-41): how many gold mentions had their gold entity
+    retrieved at all — separating blocking misses from scoring misses."""
     pred = metrics.cluster_pairs(
         resolved_clusters.where(F.col("qcode").isNotNull()).select(
             "mention_id", "cluster_id", "block_key"
@@ -129,4 +210,17 @@ def evaluate(
         gold_mentions.select("mention_id", "gold_qcode", "block_key"),
         ["gold_qcode", "block_key"],
     )
-    return metrics.pairwise_f1_df(pred, gold)
+    out = metrics.pairwise_f1_df(pred, gold)
+    if candidates is not None:
+        row = metrics.gold_recall(
+            gold_mentions.select(
+                "mention_id", F.col("gold_qcode").alias("qcode")
+            ),
+            candidates.where(F.col("qcode").isNotNull()).select(
+                "mention_id", "qcode"
+            ),
+        ).collect()[0]
+        out["n_gold"] = int(row["n_gold"])
+        out["n_gold_in_candidates"] = int(row["n_gold_in_candidates"])
+        out["gold_recall"] = float(row["gold_recall"])
+    return out

@@ -64,7 +64,15 @@ class StageStore:
         if repartition_by is not None:
             n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
             out = out.repartition(n, F.col(repartition_by))
+        # A9: df.observe lineage counters — measured DURING the write job
+        # itself (no extra scan), the Spark-native analog of the reference's
+        # per-stage print counters (generate_pem.py:57-62)
+        from pyspark.sql import Observation
+
+        obs = Observation(f"commit_{stage}")
+        out = out.observe(obs, F.count(F.lit(1)).alias("rows_written"))
         out.write.mode("overwrite").parquet(tmp)
+        observed = dict(obs.get)
 
         # per-partition lineage counters (computed from the committed files so
         # the numbers describe exactly what was written)
@@ -85,6 +93,7 @@ class StageStore:
                     "rows": int(sum(r["count"] for r in part_counts)),
                     "partitions": {str(r["partition"]): int(r["count"]) for r in part_counts},
                     "repartition_by": repartition_by,
+                    "observed": {k: int(v) for k, v in observed.items()},
                 },
                 f,
                 indent=2,

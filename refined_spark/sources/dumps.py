@@ -155,10 +155,21 @@ def demux(projected: DataFrame) -> dict[str, DataFrame]:
     }
 
 
-def scan_sql_dump(spark: SparkSession, path: str, n_fields: int = 3) -> DataFrame:
+def scan_sql_dump(
+    spark: SparkSession,
+    path: str,
+    n_fields: int = 3,
+    ns_field: int | None = None,
+    ns_value: str = "0",
+) -> DataFrame:
     """S3: MySQL dump 'INSERT INTO t VALUES (a,b,c),(d,e,f);' -> one row per
-    tuple, fields as strings (regex split; namespace filter is the caller's
-    P3). Pure column expressions."""
+    tuple, fields as strings (regex split). Pure column expressions.
+
+    ns_field applies the P3 namespace filter at the scan (the reference
+    keeps only namespace-0 = article pages when parsing page/redirect
+    dumps, process_wiki.py:70-76): rows whose f{ns_field} != ns_value are
+    dropped before anything downstream sees them — the predicate sits
+    directly on the projected scan so Catalyst keeps it pre-shuffle."""
     lines = spark.read.text(path).where(F.col("value").startswith("INSERT INTO"))
     tuples = lines.select(
         F.explode(
@@ -173,7 +184,10 @@ def scan_sql_dump(spark: SparkSession, path: str, n_fields: int = 3) -> DataFram
         ).alias(f"f{i}")
         for i in range(n_fields)
     ]
-    return tuples.select(*cols)
+    out = tuples.select(*cols)
+    if ns_field is not None:
+        out = out.where(F.col(f"f{ns_field}") == ns_value)
+    return out
 
 
 def scan_alias_tsv(spark: SparkSession, path: str) -> DataFrame:

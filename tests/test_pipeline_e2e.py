@@ -137,3 +137,30 @@ def test_distributed_eval_matches_local(spark, tables, fixture_paths):
     # surname-only mentions to the popular entity. The hard gate is vs the
     # oracle above (exact semantic parity), not vs generator truth.
     assert m["f1"] >= 0.85, m
+
+
+def test_fused_scoring_matches_rowjoin_path(spark, fixture_paths):
+    """score_resolve_fused must equal resolve(score_candidates(...)) row
+    for row — same winners, same scores to the last ulp."""
+    from refined_spark.operators import coref, pem, scoring, spans
+    from refined_spark.plans import pipeline
+
+    load = lambda k: spark.read.parquet(fixture_paths[k])
+    docs = load("documents")
+    mentions = pipeline.build_mentions(docs)
+    cands = pem.candidate_join(mentions, load("pem"), entity_meta=load("entity_meta"))
+    merged = coref.propagate_person_coref(
+        cands, load("human_qcodes"), mentions=mentions,
+        entity_meta=load("entity_meta"),
+    )
+    ctx = scoring.mention_context_embeddings(spans.doc_text(docs))
+    classic = scoring.resolve(
+        scoring.score_candidates(merged, load("entity_meta"),
+                                 load("entity_embeddings"), ctx)
+    )
+    fused = scoring.score_resolve_fused(merged, load("entity_embeddings"), ctx)
+
+    cols = ["doc_id", "mention_id", "block_key", "offset", "qcode", "score"]
+    a = sorted(tuple(r[c] for c in cols) for r in classic.select(cols).collect())
+    b = sorted(tuple(r[c] for c in cols) for r in fused.select(cols).collect())
+    assert len(a) == len(b) and a == b
