@@ -176,7 +176,7 @@ def prep_stage_inputs(corpus: str) -> str:
     from refined_spark.plans import pipeline
     from refined_spark.session import get_spark
 
-    prep = os.path.join(corpus, f"_stage_prep_a{CC_AMPLIFY}")
+    prep = os.path.join(corpus, f"_stage_prep_a{CC_AMPLIFY}_v2")
     marker = os.path.join(prep, "_DONE")
     if os.path.exists(marker):
         return prep
@@ -197,6 +197,11 @@ def prep_stage_inputs(corpus: str) -> str:
     # tasks gate the scoring stage at ANY core count
     merged.repartition(96, "mention_id").write.mode("overwrite").parquet(
         f"{prep}/merged.parquet")
+    # the mention-attribute table the fused scorer joins winners back to
+    # (the pipeline's materialized mentions stage plays this role there)
+    mentions.select("mention_id", "doc_id", "block_key", "offset").repartition(
+        32, "mention_id"
+    ).write.mode("overwrite").parquet(f"{prep}/mentions.parquet")
 
     merged_back = spark.read.parquet(f"{prep}/merged.parquet")
     ctx = scoring.mention_context_embeddings(spans.doc_text(docs))
@@ -256,6 +261,7 @@ def stage_run(corpus: str, prep: str, stage: str, cores: int,
 
     if stage == "scoring":
         merged = spark.read.parquet(f"{prep}/merged.parquet")
+        mention_attrs = spark.read.parquet(f"{prep}/mentions.parquet")
         docs = load("documents")
         emb = load("entity_embeddings")
         n_items = docs.count()  # docs/sec: the stage embeds every doc once
@@ -265,7 +271,8 @@ def stage_run(corpus: str, prep: str, stage: str, cores: int,
             # auto-selects it): fused cogrouped scoring+resolve — skinny
             # Arrow rows, ctx shipped once per doc, argmax in-kernel
             ctx = scoring.mention_context_embeddings(spans.doc_text(docs))
-            materialize(scoring.score_resolve_fused(merged, emb, ctx))
+            materialize(scoring.score_resolve_fused(
+                merged, emb, ctx, mentions=mention_attrs))
 
     elif stage == "clustering":
         resolved = spark.read.parquet(f"{prep}/resolved_amp.parquet")
@@ -316,7 +323,7 @@ def main_scaling() -> None:
     # prep runs in its own subprocess: a SparkSession created in THIS
     # process would leave its JVM alive (spark.stop() keeps the py4j
     # gateway) burning CPU next to every measurement that follows
-    prep = os.path.join(corpus, f"_stage_prep_a{CC_AMPLIFY}")
+    prep = os.path.join(corpus, f"_stage_prep_a{CC_AMPLIFY}_v2")
     if not os.path.exists(os.path.join(prep, "_DONE")):
         import subprocess as _sp
 

@@ -99,23 +99,27 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _violations(after: DataFrame) -> DataFrame:
-    """Non-empty iff `after` is NOT a depth-1 star forest. Both subtrees
-    read the checkpointed round output: the multi-parent aggregation needs
-    no exchange (output is partitioned by src) and the role-intersection
-    semi-join broadcasts the (small) parent set under AQE."""
-    multi_parent = (
-        after.groupBy("src")
-        .agg(F.count("*").alias("n"))
-        .where(F.col("n") > 1)
-        .select(F.col("src").alias("v"))
+def _violation_count(after: DataFrame) -> int:
+    """Single-pass forest test: explode each edge into (v, child?, parent?)
+    roles and aggregate once — violation iff a node has >1 child rows (not
+    a function) or appears as both child and parent (depth > 1). One job,
+    one shuffle; running it against a lazily-checkpointed round output
+    materializes the checkpoint in the SAME job, so each CC round costs
+    exactly one driver barrier instead of two (eager checkpoint +
+    isEmpty)."""
+    roles = after.select(
+        F.col("src").alias("v"), F.lit(1).alias("c"), F.lit(0).alias("p")
+    ).unionByName(
+        after.select(F.col("dst").alias("v"), F.lit(0).alias("c"),
+                     F.lit(1).alias("p"))
     )
-    both_roles = (
-        after.select("dst")
-        .join(after.select(F.col("src").alias("dst")), "dst", "left_semi")
-        .select(F.col("dst").alias("v"))
+    per_node = roles.groupBy("v").agg(
+        F.sum("c").alias("nc"), F.max("p").alias("isp")
     )
-    return multi_parent.unionByName(both_roles)
+    bad = per_node.where(
+        (F.col("nc") > 1) | ((F.col("nc") >= 1) & (F.col("isp") == 1))
+    )
+    return bad.count()
 
 
 def connected_components(
@@ -154,9 +158,12 @@ def connected_components(
     cur = cur.localCheckpoint(eager=False)
     converged = False
     for _ in range(max_rounds):
-        after = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # lazy checkpoint + single-pass forest test: ONE job materializes
+        # the round AND answers convergence (was: eager checkpoint job,
+        # then a separate isEmpty job — two serial driver barriers/round)
+        after = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         cur = after
-        if _violations(after).isEmpty():
+        if _violation_count(after) == 0:
             converged = True
             break
     if not converged:

@@ -156,6 +156,7 @@ def score_resolve_fused(
     ctx_emb: DataFrame,
     threshold: float = ED_THRESHOLD,
     num_buckets: int | None = None,
+    mentions: DataFrame | None = None,
 ) -> DataFrame:
     """Fused scoring + resolution for DICTIONARY-SCALE entity sets: one
     cogrouped Arrow stage replaces the per-candidate embedding join, the
@@ -182,6 +183,15 @@ def score_resolve_fused(
         resolved winners directly — no second shuffle.
 
     Output == resolve(score_candidates(...)) exactly (tested row-for-row).
+
+    The doc-bucket exchange ships a SLIM candidate row — (doc_id,
+    mention_id, qcode, prior, jw, lev) — never the mention attributes
+    (block_key, offset): those rejoin the per-mention WINNERS (10-30x
+    fewer rows) afterwards, from `mentions` when given (the pipeline's
+    materialized mentions stage — zero extra work) or from a per-mention
+    first() aggregation of `merged` otherwise. On this sandbox's
+    IOPS-throttled disk the exchange is the scoring stage's hardest
+    scaling bound, and at 100 TB the same bytes are the network bill.
     """
     spark = merged.sparkSession
     nb = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -195,7 +205,7 @@ def score_resolve_fused(
             f"entity matrix {mat.nbytes >> 20} MiB exceeds the fused-path "
             "budget; use score_candidates + resolve (row-join plan)"
         )
-    qindex = pd.Index(pdf["qcode"])
+    qcodes_np = pdf["qcode"].to_numpy(dtype=object)
     # numeric qcodes for the oracle's tie-break, precomputed once — never
     # regex-parsed per candidate row
     qnum = pd.to_numeric(
@@ -205,78 +215,157 @@ def score_resolve_fused(
     for j in range(mat.shape[1] if mat.size else 0):
         y = mat[:, j]
         nb2 += y * y
-    bc = spark.sparkContext.broadcast((qindex, qnum, mat, nb2))
+    bc = spark.sparkContext.broadcast((qcodes_np, qnum, mat, nb2))
     w_prior, w_jw, w_lev, w_cos = W_PRIOR, W_JW, W_LEV, W_COS
 
-    def kernel(mdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
-        if len(mdf) == 0:
-            return pd.DataFrame(
-                columns=["doc_id", "mention_id", "block_key", "offset",
-                         "qcode", "score"]
-            )
-        qindex_, qnum_, mat_, nb2_ = bc.value
-        n = len(mdf)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_schema = pa.schema(
+        [("mention_id", pa.string()), ("qcode", pa.string()),
+         ("score", pa.float64())]
+    )
+
+    def _list_to_matrix(col, n_rows: int, dim: int) -> np.ndarray:
+        """list<double> column -> (n_rows, dim) float64, zero-copy when the
+        lists are dense and uniform; rows that are null or mis-sized
+        zero-fill (same contract as the old per-row path)."""
+        if n_rows == 0 or dim == 0:
+            return np.zeros((max(n_rows, 1), max(dim, 1)))
+        arr = col.combine_chunks()
+        if arr.null_count == 0:
+            offs = arr.offsets.to_numpy()
+            if offs[-1] - offs[0] == n_rows * dim and np.all(
+                np.diff(offs) == dim
+            ):
+                vals = arr.values.to_numpy(zero_copy_only=False)
+                return vals[offs[0]:offs[-1]].reshape(n_rows, dim)
+        return np.asarray(
+            [np.asarray(v, dtype=np.float64)
+             if v is not None and len(v) == dim else np.zeros(dim)
+             for v in arr.to_pylist()],
+            dtype=np.float64,
+        )
+
+    def kernel(mtb: pa.Table, ctb: pa.Table) -> pa.Table:
+        # Arrow-native kernel (applyInArrow): the id columns stay Arrow
+        # buffers end-to-end — no object-string materialization, which was
+        # ~40% of the per-task time under applyInPandas at 33.8M rows.
+        import os as _os
+        import time as _time
+        _trace = _os.environ.get("REFINED_SPARK_KERNEL_TRACE")
+        _t0 = _time.time()
+        n = mtb.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        qcodes_, qnum_, mat_, nb2_ = bc.value
         dim = mat_.shape[1] if mat_.size else 0
 
-        # per-bucket doc-context matrix: one row per doc, gathered per
-        # candidate row by integer index (local memory, not Arrow traffic)
-        doc_ids = pd.Index(cdf["ctx_doc_id"]) if len(cdf) else pd.Index([])
-        d_of_row = doc_ids.get_indexer(mdf["doc_id"])
-        if len(cdf) and dim:
-            ctx_mat = np.asarray(
-                [np.asarray(v, dtype=np.float64)
-                 if v is not None and len(v) == dim else np.zeros(dim)
-                 for v in cdf["ctx_emb"]],
-                dtype=np.float64,
-            )
-        else:
-            ctx_mat = np.zeros((max(len(cdf), 1), max(dim, 1)))
+        qcode_arr = mtb.column("qcode").combine_chunks()
+        mention_arr = mtb.column("mention_id").combine_chunks()
+        qnull = pc.is_null(qcode_arr).to_numpy(zero_copy_only=False)
 
-        # vectorized hash probes (C, not per-row Python): entity row and
-        # numeric qcode per candidate
-        e_of_row = qindex_.get_indexer(mdf["qcode"])
+        # vectorized hash probes (Arrow C++, not per-row Python): entity
+        # row and per-bucket ctx row per candidate
+        ent_set = pa.array(qcodes_, pa.string())
+        e_of_row = pc.fill_null(
+            pc.index_in(qcode_arr, value_set=ent_set), -1
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_ctx = ctb.num_rows
+        if n_ctx:
+            ctx_docs = ctb.column("ctx_doc_id").combine_chunks()
+            d_of_row = pc.fill_null(
+                pc.index_in(mtb.column("doc_id").combine_chunks(),
+                            value_set=ctx_docs), -1
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            ctx_mat = _list_to_matrix(ctb.column("ctx_emb"), n_ctx, dim)
+        else:
+            d_of_row = np.full(n, -1, dtype=np.int64)
+            ctx_mat = np.zeros((1, max(dim, 1)))
         valid = (e_of_row >= 0) & (d_of_row >= 0)
         cos = np.zeros(n)
         if valid.any() and dim:
-            ei = e_of_row[valid]
-            xm = ctx_mat[d_of_row[valid]]
-            ym = mat_[ei]
-            dot = np.zeros(len(ei))
-            na2 = np.zeros(len(ei))
-            for j in range(dim):
-                x = xm[:, j]
-                dot += x * ym[:, j]
-                na2 += x * x
-            den = np.sqrt(na2) * np.sqrt(nb2_[ei])
-            cos[valid] = np.where(den > 0, dot / np.where(den > 0, den, 1.0), 0.0)
+            # Blocked, preallocated cosine: every temporary stays <= ~4 MB
+            # and is REUSED across blocks. The naive column-strided loop
+            # allocates ~190 multi-MB temporaries per call; glibc serves
+            # those via mmap/munmap, and with one worker per core the
+            # munmap TLB shootdowns (IPIs to every other core) put the
+            # machine at >80% kernel time — measured 330 s/proc at 32
+            # procs vs 4.6 s single (see BENCH.md). Blocked+out= runs the
+            # identical FLOP schedule from arena-recycled memory: 5 s/proc
+            # at 32 procs. Accumulation stays dimension-sequential PER ROW
+            # (j ascending, += into the block accumulator), so results are
+            # bit-identical to cosine_seq_udf and the oracle's seq_dot.
+            ei_all = e_of_row.copy()
+            np.clip(ei_all, 0, None, out=ei_all)
+            di_all = d_of_row.copy()
+            np.clip(di_all, 0, None, out=di_all)
+            B = 8192
+            xb = np.empty((B, dim))
+            yb = np.empty((B, dim))
+            db = np.empty(B)
+            a2 = np.empty(B)
+            tm = np.empty(B)
+            den = np.empty(B)
+            b2 = np.empty(B)
+            for s in range(0, n, B):
+                e = min(s + B, n)
+                m = e - s
+                xm = xb[:m]
+                ym = yb[:m]
+                np.take(ctx_mat, di_all[s:e], axis=0, out=xm)
+                np.take(mat_, ei_all[s:e], axis=0, out=ym)
+                dot = db[:m]
+                na2 = a2[:m]
+                t = tm[:m]
+                dot.fill(0.0)
+                na2.fill(0.0)
+                for j in range(dim):
+                    x = xm[:, j]
+                    np.multiply(x, ym[:, j], out=t)
+                    dot += t
+                    np.multiply(x, x, out=t)
+                    na2 += t
+                dn = den[:m]
+                nbb = b2[:m]
+                np.take(nb2_, ei_all[s:e], out=nbb)
+                np.sqrt(na2, out=na2)
+                np.sqrt(nbb, out=nbb)
+                np.multiply(na2, nbb, out=dn)
+                ok = valid[s:e] & (dn > 0)
+                cos[s:e] = np.where(ok, db[:m] / np.where(dn > 0, dn, 1.0), 0.0)
 
-        prior = mdf["prior"].to_numpy(dtype=np.float64, na_value=np.nan)
-        jw = mdf["jw"].to_numpy(dtype=np.float64, na_value=np.nan)
-        lev = mdf["lev"].to_numpy(dtype=np.float64, na_value=np.nan)
+        prior = mtb.column("prior").to_numpy(zero_copy_only=False)
+        jw = mtb.column("jw").to_numpy(zero_copy_only=False)
+        lev = mtb.column("lev").to_numpy(zero_copy_only=False)
         score = (w_prior * prior + w_jw * jw + w_lev * lev
                  + w_cos * np.maximum(cos, 0.0))
         # dictionary-miss rows (null qcode) must score NaN even though the
         # feature columns might be zero-filled upstream
-        score[~(e_of_row >= 0)] = np.where(
-            mdf["qcode"].isna().to_numpy()[~(e_of_row >= 0)], np.nan,
-            score[~(e_of_row >= 0)],
-        )
+        miss = ~(e_of_row >= 0)
+        score[miss] = np.where(qnull[miss], np.nan, score[miss])
 
         row_qnum = np.where(e_of_row >= 0, qnum_[np.clip(e_of_row, 0, None)],
                             np.nan)
         # candidates with a real qcode but no embedding row still need the
         # numeric tie-break (classic resolve derives it from the string)
-        stray = (e_of_row < 0) & mdf["qcode"].notna().to_numpy()
+        stray = (e_of_row < 0) & ~qnull
         if stray.any():
+            s_strs = pc.take(
+                qcode_arr, pa.array(np.nonzero(stray)[0])
+            ).to_pandas()
             row_qnum[stray] = pd.to_numeric(
-                mdf["qcode"][stray].str.replace("^Q", "", regex=True),
-                errors="coerce",
+                s_strs.str.replace("^Q", "", regex=True), errors="coerce"
             ).to_numpy(dtype=np.float64, na_value=np.nan)
         # C5 argmax with the oracle's tie-break (max score, then min qnum):
         # one numpy lexsort (last key primary) + first-per-group mask —
         # no pandas sort, no per-row Python. NaN scores sort last, so an
-        # all-miss mention keeps its NIL row.
-        codes, _ = pd.factorize(mdf["mention_id"], sort=False)
+        # all-miss mention keeps its NIL row. Group labels come from
+        # Arrow's dictionary_encode (C++), label VALUES don't matter —
+        # only per-group contiguity under the sort.
+        codes = pc.dictionary_encode(mention_arr).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
         order = np.lexsort((row_qnum, -score, codes))
         first = np.empty(n, dtype=bool)
         first[0:1] = True
@@ -285,27 +374,49 @@ def score_resolve_fused(
 
         sc = score[pick]
         win = sc >= threshold  # P7 threshold (NaN -> False -> NIL)
-        qc = mdf["qcode"].to_numpy(dtype=object)[pick]
-        return pd.DataFrame({
-            "doc_id": mdf["doc_id"].to_numpy()[pick],
-            "mention_id": mdf["mention_id"].to_numpy()[pick],
-            "block_key": mdf["block_key"].to_numpy()[pick],
-            "offset": mdf["offset"].to_numpy()[pick],
-            "qcode": np.where(win, qc, None),
-            "score": sc,
+        pick_pa = pa.array(pick)
+        out_qcode = pc.if_else(
+            pa.array(win), pc.take(qcode_arr, pick_pa),
+            pa.scalar(None, pa.string()),
+        )
+        out = pa.table({
+            "mention_id": pc.take(mention_arr, pick_pa),
+            "qcode": out_qcode,
+            # from_pandas=True maps NaN -> null, matching the row-join
+            # path's null score for all-miss mentions
+            "score": pa.array(sc, from_pandas=True),
         })
+        if _trace:
+            with open(f"{_trace}/k_{_os.getpid()}.log", "a") as fh:
+                fh.write(f"{n} {_time.time() - _t0:.3f}\n")
+        return out
 
     bucket = F.pmod(F.xxhash64("doc_id"), F.lit(nb)).cast("int")
-    m = merged.withColumn("_b", bucket)
+    m = merged.select(
+        "doc_id", "mention_id", "qcode", "prior", "jw", "lev"
+    ).withColumn("_b", bucket)
     # rename the ctx side: merged and ctx_emb usually share lineage (both
     # derive from `documents`), and cogroup would see ambiguous doc_id refs
     c = ctx_emb.select(
         F.col("doc_id").alias("ctx_doc_id"), "ctx_emb"
     ).withColumn("_b", F.pmod(F.xxhash64("ctx_doc_id"), F.lit(nb)).cast("int"))
-    return (
+    winners = (
         m.groupBy("_b")
         .cogroup(c.groupBy("_b"))
-        .applyInPandas(lambda _k, a, b: kernel(a, b), RESOLVED_SCHEMA)
+        .applyInArrow(
+            kernel, "mention_id string, qcode string, score double"
+        )
+    )
+    if mentions is not None:
+        attrs = mentions.select("mention_id", "doc_id", "block_key", "offset")
+    else:
+        attrs = merged.groupBy("mention_id").agg(
+            F.first("doc_id").alias("doc_id"),
+            F.first("block_key").alias("block_key"),
+            F.first("offset").alias("offset"),
+        )
+    return attrs.join(winners, "mention_id").select(
+        "doc_id", "mention_id", "block_key", "offset", "qcode", "score"
     )
 
 

@@ -22,7 +22,11 @@ from refined_spark.functions.normalize import normalize_surface_udf
 from refined_spark.operators import clustering, coref, metrics, pem, scoring, spans
 from refined_spark.plans.snapshots import StageStore
 
-STAGES = ["mentions", "candidates", "coref", "scored", "resolved", "clusters"]
+# canonical resume chain — committed on every path. The row-join scoring
+# path additionally commits an intermediate "scored" stage between coref
+# and resolved; the fused kernel emits resolved directly, so "scored" is
+# not part of the resume contract.
+STAGES = ["mentions", "candidates", "coref", "resolved", "clusters"]
 
 
 def build_mentions(documents: DataFrame) -> DataFrame:
@@ -134,7 +138,9 @@ def run(
     if use_fused:
         def make_resolved():
             ctx = scoring.mention_context_embeddings(spans.doc_text(documents))
-            return scoring.score_resolve_fused(merged, entity_embeddings, ctx)
+            return scoring.score_resolve_fused(
+                merged, entity_embeddings, ctx, mentions=mentions
+            )
 
         resolved = stage("resolved", make_resolved)
     else:
