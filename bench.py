@@ -121,10 +121,12 @@ def main_bench() -> None:
     from refined_spark import queries as Q
     from refined_spark.session import get_spark
 
-    # shuffle partitions ~3x cores (NOT == cores: one task-wave has zero
-    # slack for stragglers); AQE coalesces small stages back down
-    spark = get_spark(app_name="refined_spark_bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=3 * int(CPUS))
+    # local profile (scale_profile=False): lz4, partitions == cores, stock
+    # split knobs. The cluster-oriented knobs (zstd, 3x partitions, split
+    # forcing) are A/B-measured at +36-53% on the shuffle-heavy headline
+    # queries at sf0.1 — they belong to the scaling runs, not this bench
+    # (see session.get_spark docstring and BENCH.md)
+    spark = get_spark(app_name="refined_spark_bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
@@ -182,7 +184,7 @@ def prep_stage_inputs(corpus: str) -> str:
         return prep
 
     spark = get_spark(app_name="scaling_prep", master="local[32]",
-                      shuffle_partitions=32)
+                      shuffle_partitions=32, scale_profile=True)
     spark.sparkContext.setLogLevel("ERROR")
     load = lambda k: spark.read.parquet(f"{corpus}/{k}.parquet")
     docs = load("documents").repartition(spark.sparkContext.defaultParallelism)
@@ -255,6 +257,7 @@ def stage_run(corpus: str, prep: str, stage: str, cores: int,
         app_name=f"scaling_{stage}_{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=96,
+        scale_profile=True,
     )
     spark.sparkContext.setLogLevel("ERROR")
     load = lambda k: spark.read.parquet(f"{corpus}/{k}.parquet")

@@ -394,26 +394,24 @@ WITH toks AS (
   FROM toks
 ), inv AS (
   SELECT doc_id, unnest(g) AS gram FROM grams
-), rare AS (
-  SELECT gram FROM inv GROUP BY gram HAVING count(*) <= {NGRAM_DF_CAP}
 ), rinv AS (
-  SELECT i.doc_id, i.gram FROM inv i JOIN rare USING (gram)
-), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM rinv a JOIN rinv b USING (gram) WHERE a.doc_id < b.doc_id
-), pairs AS (
-  SELECT c.doc_a, c.doc_b, ga.g AS g_a, gb.g AS g_b
-  FROM cand c
-  JOIN grams ga ON c.doc_a = ga.doc_id
-  JOIN grams gb ON c.doc_b = gb.doc_id
+  SELECT doc_id, gram FROM inv
+  QUALIFY count(*) OVER (PARTITION BY gram) <= {NGRAM_DF_CAP}
+), sizes AS (
+  SELECT doc_id, count(*) AS n_grams FROM rinv GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM rinv a JOIN rinv b USING (gram)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       round(len(list_filter(g_a, x -> list_contains(g_b, x)))::DOUBLE /
-             (len(g_a) + len(g_b) - len(list_filter(g_a, x -> list_contains(g_b, x))))::DOUBLE,
+       round(n_common::DOUBLE / (sa.n_grams + sb.n_grams - n_common)::DOUBLE,
              6) AS jaccard
-FROM pairs
-WHERE len(list_filter(g_a, x -> list_contains(g_b, x)))::DOUBLE /
-      (len(g_a) + len(g_b) - len(list_filter(g_a, x -> list_contains(g_b, x))))::DOUBLE >= 0.5
+FROM common
+JOIN sizes sa ON common.doc_a = sa.doc_id
+JOIN sizes sb ON common.doc_b = sb.doc_id
+WHERE n_common::DOUBLE / (sa.n_grams + sb.n_grams - n_common)::DOUBLE >= 0.5
 """
 
 

@@ -24,7 +24,23 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    scale_profile: bool = False,
 ) -> SparkSession:
+    """scale_profile=False (default): local/interactive profile — Spark's
+    stock lz4 codec and shuffle buffers, shuffle partitions ~ cores. This is
+    the right config for a single-node sf0.1 run where shuffles fit in the
+    page cache and compression CPU is pure overhead (A/B in BENCH.md:
+    zstd + 96 partitions + aggressive split knobs cost +36-53% on the
+    shuffle-heavy headline queries at this scale).
+
+    scale_profile=True: cluster-oriented knobs for jobs whose cost model is
+    the 100 TB one — zstd shuffle compression (~35% smaller exchanges; the
+    network/disk bill dominates CPU there), 1 MB shuffle file buffers
+    (fewer syscalls per spill), shuffle partitions ~ 3x cores (straggler
+    slack, AQE coalesces back), and file-split knobs that keep small inputs
+    from starving a wide executor pool. The scaling benchmark (bench.py
+    --scaling) uses this profile at BOTH parallelism levels — a real
+    cluster job ships one config and runs on N or 4N executors."""
     # Allocator hygiene for the Python workers (inherited from this process
     # by the JVM -> pyspark.daemon -> forked workers; on a standalone/YARN
     # cluster set the same via spark.executorEnv.*). With one Arrow-batched
@@ -43,21 +59,19 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master == "local[$SPARK_GRAFT_CPUS]" or (master == "local[*]" and cpus):
         master = f"local[{cpus}]"
-    if shuffle_partitions is None:
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "96"))
 
-    # scan parallelism: split files so every core gets work even on small
-    # local inputs. Spark's split size is max(openCostInBytes, bytes/minPartitionNum)
-    # capped at maxPartitionBytes; the 4 MB openCost default dates from
-    # spinning-disk HDFS and floors a 60 MB table at ~15 splits — starving a
-    # 32-core machine (measured: the doc-embedding UDF stage ran 15 tasks on
-    # 32 cores). 1 MB lets split count track cluster size; at 100 TB inputs
-    # have thousands of >=128 MB splits and neither knob matters.
     n_cores = os.cpu_count() or 8
     if master.startswith("local["):
         inner = master[6:-1]
         if inner.isdigit():
             n_cores = int(inner)
+
+    if shuffle_partitions is None:
+        env = os.environ.get("SPARK_GRAFT_SHUFFLE")
+        if env:
+            shuffle_partitions = int(env)
+        else:
+            shuffle_partitions = 3 * n_cores if scale_profile else n_cores
 
     b = (
         SparkSession.builder.appName(app_name)
@@ -72,16 +86,25 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
-        .config("spark.sql.files.minPartitionNum", str(2 * n_cores))
-        # zstd shuffles ~35% smaller than lz4 on this engine's numeric-heavy
-        # exchanges for a little extra CPU — the right trade whenever
-        # storage/network is the scarce resource (IOPS-throttled disk here,
-        # the network bill at 100 TB). Bigger file buffers cut syscall count
-        # per shuffle write.
-        .config("spark.io.compression.codec", "zstd")
-        .config("spark.shuffle.file.buffer", "1m")
     )
+    if scale_profile:
+        # scan parallelism: split files so every core gets work even on
+        # small inputs. Spark's split size is max(openCostInBytes,
+        # bytes/minPartitionNum) capped at maxPartitionBytes; the 4 MB
+        # openCost default floors a 60 MB table at ~15 splits — starving a
+        # 32-core pool (measured: the doc-embedding UDF stage ran 15 tasks
+        # on 32 cores). At 100 TB inputs have thousands of >=128 MB splits
+        # and neither knob matters.
+        b = (
+            b.config("spark.sql.files.openCostInBytes", str(1024 * 1024))
+            .config("spark.sql.files.minPartitionNum", str(2 * n_cores))
+            # zstd shuffles ~35% smaller than lz4 on this engine's
+            # numeric-heavy exchanges for a little extra CPU — the right
+            # trade when storage/network is the scarce resource (the network
+            # bill at 100 TB). Bigger file buffers cut syscalls per write.
+            .config("spark.io.compression.codec", "zstd")
+            .config("spark.shuffle.file.buffer", "1m")
+        )
     # shuffle/checkpoint spill directory: this sandbox's virtual disk is
     # IOPS-throttled and shared, which makes shuffle-heavy stages both slow
     # and noisy; tmpfs removes disk from the measurement. Opt-in only
