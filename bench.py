@@ -178,7 +178,7 @@ def prep_stage_inputs(corpus: str) -> str:
     from refined_spark.plans import pipeline
     from refined_spark.session import get_spark
 
-    prep = os.path.join(corpus, f"_stage_prep_a{CC_AMPLIFY}_v2")
+    prep = os.path.join(corpus, f"_stage_prep_a{CC_AMPLIFY}_v3")
     marker = os.path.join(prep, "_DONE")
     if os.path.exists(marker):
         return prep
@@ -206,7 +206,7 @@ def prep_stage_inputs(corpus: str) -> str:
     ).write.mode("overwrite").parquet(f"{prep}/mentions.parquet")
 
     merged_back = spark.read.parquet(f"{prep}/merged.parquet")
-    ctx = scoring.mention_context_embeddings(spans.doc_text(docs))
+    ctx = scoring.mention_window_embeddings(docs)
     resolved = scoring.resolve(
         scoring.score_candidates(merged_back, load("entity_meta"),
                                  load("entity_embeddings"), ctx)
@@ -273,9 +273,11 @@ def stage_run(corpus: str, prep: str, stage: str, cores: int,
             # the engine's default path at dictionary scale (pipeline.run
             # auto-selects it): fused cogrouped scoring+resolve — skinny
             # Arrow rows, ctx shipped once per doc, argmax in-kernel
-            ctx = scoring.mention_context_embeddings(spans.doc_text(docs))
-            materialize(scoring.score_resolve_fused(
-                merged, emb, ctx, mentions=mention_attrs))
+            ctx = scoring.mention_window_embeddings(docs)
+            fused = scoring.score_resolve_fused(
+                merged, emb, ctx, mentions=mention_attrs)
+            assert fused is not None, "bench embeddings exceed fused budget"
+            materialize(fused)
 
     elif stage == "clustering":
         resolved = spark.read.parquet(f"{prep}/resolved_amp.parquet")
@@ -326,7 +328,7 @@ def main_scaling() -> None:
     # prep runs in its own subprocess: a SparkSession created in THIS
     # process would leave its JVM alive (spark.stop() keeps the py4j
     # gateway) burning CPU next to every measurement that follows
-    prep = os.path.join(corpus, f"_stage_prep_a{CC_AMPLIFY}_v2")
+    prep = os.path.join(corpus, f"_stage_prep_a{CC_AMPLIFY}_v3")
     if not os.path.exists(os.path.join(prep, "_DONE")):
         import subprocess as _sp
 

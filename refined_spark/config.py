@@ -20,3 +20,12 @@ W_PRIOR = 0.4
 W_JW = 0.3
 W_LEV = 0.1
 W_COS = 0.2
+
+# Per-mention context window (C1): the cosine feature embeds the text spans
+# whose offset lies within +/- this many positions of the mention's span
+# offset (doc coordinate space), NOT the whole document — the distributed
+# analog of the reference's per-mention token-window pooling
+# (/root/reference/src/refined/model_components/refined_model.py:345-380;
+# segment windows in modelling_types.py:137-196). Two mentions in one doc
+# therefore get DIFFERENT embedding evidence.
+CTX_WINDOW = 100

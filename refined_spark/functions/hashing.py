@@ -135,3 +135,20 @@ def simhash64_py(tokens: list[str]) -> int:
         if acc[bit] > 0:
             out |= 1 << bit
     return out
+
+
+def band_hashes_col(sig: Column, bands: int, num_hashes: int) -> Column:
+    """LSH banding: the signature array sliced into `bands` groups of
+    num_hashes//bands rows, each group hashed to one band key string.
+    Shared by the dedup channel (dedup.lsh_candidate_pairs) and the
+    blocking channel (blocking._banded) so the band-key definition can
+    never drift between them."""
+    from pyspark.sql import functions as F
+
+    rows_per_band = (num_hashes // bands) or 1
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.array_join(F.slice(sig, b * rows_per_band + 1, rows_per_band), ",")
+        ),
+    )

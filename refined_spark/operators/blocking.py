@@ -37,8 +37,10 @@ from refined_spark.functions.hashing import (
 
 
 def _banded(df: DataFrame, text_col: str, k: int, num_hashes: int, bands: int) -> DataFrame:
-    """+ (band_id, band_hash) per input row, one row per band."""
-    rows_per_band = (num_hashes // bands) or 1
+    """+ (band_id, band_hash) per input row, one row per band. Band-key
+    definition shared with the dedup channel via hashing.band_hashes_col."""
+    from refined_spark.functions.hashing import band_hashes_col
+
     base = df.withColumn(
         "_mh_base", minhash_base_col(char_shingles_col(F.col(text_col), k))
     )
@@ -48,14 +50,7 @@ def _banded(df: DataFrame, text_col: str, k: int, num_hashes: int, bands: int) -
     return sig.select(
         "*",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(
-                    F.array_join(
-                        F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band), ","
-                    )
-                ),
-            )
+            band_hashes_col(F.col("_sig"), bands, num_hashes)
         ).alias("band_id", "band_hash"),
     ).drop("_sig")
 

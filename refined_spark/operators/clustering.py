@@ -123,7 +123,10 @@ def _violation_count(after: DataFrame) -> int:
 
 
 def connected_components(
-    edges: DataFrame, max_rounds: int = 30, edges_unique: bool = False
+    edges: DataFrame,
+    max_rounds: int = 30,
+    edges_unique: bool = False,
+    check_every: int = 2,
 ) -> DataFrame:
     """edges(src long, dst long) -> (node long, component long) where
     component is the minimum node id of the component. Isolated nodes do not
@@ -148,6 +151,16 @@ def connected_components(
     appear as children, so (children ∪ roots) has unique nodes by
     construction — the old groupBy(node).min() full shuffle is dropped.
 
+    check_every batches that many large∘small rounds into ONE job before
+    the convergence test runs: the per-round serial costs — the driver
+    barrier, job scheduling, and the forest-test pass itself (a union +
+    groupBy over the full edge set) — are what cap N -> 4N scaling (round
+    count does not drop with cores), so halving their number roughly halves
+    the non-scaling fraction. Overshooting costs only no-op rounds: a
+    depth-1 star forest is a fixpoint of large-star∘small-star, so extra
+    rounds re-emit the forest unchanged (two cheap shuffles), while every
+    skipped check saves a full forest-test aggregation.
+
     Raises RuntimeError if max_rounds is exhausted before convergence
     (returning the unconverged state could silently split components)."""
     cur = edges.select(
@@ -157,11 +170,16 @@ def connected_components(
         cur = cur.distinct()
     cur = cur.localCheckpoint(eager=False)
     converged = False
-    for _ in range(max_rounds):
-        # lazy checkpoint + single-pass forest test: ONE job materializes
-        # the round AND answers convergence (was: eager checkpoint job,
-        # then a separate isEmpty job — two serial driver barriers/round)
-        after = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+    rounds_done = 0
+    while rounds_done < max_rounds:
+        # k fused rounds, then a lazy checkpoint + single-pass forest test:
+        # ONE job materializes the batch AND answers convergence (was: one
+        # eager checkpoint job + one isEmpty job PER ROUND)
+        after = cur
+        for _ in range(min(check_every, max_rounds - rounds_done)):
+            after = _small_star(_large_star(after))
+            rounds_done += 1
+        after = after.localCheckpoint(eager=False)
         cur = after
         if _violation_count(after) == 0:
             converged = True

@@ -80,7 +80,8 @@ def minhash_signatures(documents: DataFrame, k: int = 5, num_hashes: int = 32,
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 8, num_hashes: int = 32
+    signatures: DataFrame, bands: int = 8, num_hashes: int = 32,
+    bucket_cap: int | None = None, observation=None,
 ) -> DataFrame:
     """Band the signature into `bands` groups of rows; docs sharing a band
     hash become candidate pairs. Returns (doc_a, doc_b) distinct, a < b.
@@ -92,29 +93,55 @@ def lsh_candidate_pairs(
     `num_hashes` must match the signature length — threaded as a parameter
     (the caller always knows it) so building the plan never runs a Spark
     job: a probe like select(size('sig')).limit(1).collect() would compute
-    signatures in the driver before the real job even starts."""
-    rows_per_band = (num_hashes // bands) or 1
+    signatures in the driver before the real job even starts.
+
+    bucket_cap (hot-bucket guard): a band bucket holding d docs emits
+    O(d^2) pairs, so ONE boilerplate template shared by 10^6 docs would
+    emit 10^12 pairs from a single key — the classic LSH failure mode on
+    web corpora. With bucket_cap set, buckets larger than the cap are
+    dropped entirely (a bucket that hot is boilerplate, not near-dup
+    signal; any true near-dup pair in it almost surely shares a calmer
+    bucket in another band). NOT silent: the frame carries an `observe`
+    metric `lsh_dropped_bucket_rows` (doc-slots discarded by the cap),
+    surfaced by the caller's action via an Observation/QueryExecution
+    listener (the A9 telemetry channel; tests read it directly).
+
+    Plan: one aggregation to per-bucket sorted doc posting lists, pairs
+    emitted JVM-side from each list (same shape as ngram_jaccard_pairs —
+    no inverted-index self-join), then one distinct. bucket_cap doubles as
+    the pair-explosion bound: every posting list is <= cap long."""
+    from refined_spark.functions.hashing import band_hashes_col
+
     banded = signatures.select(
         "doc_id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(
-                    F.array_join(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), ",")
-                ),
-            )
+            band_hashes_col(F.col("sig"), bands, num_hashes)
         ).alias("band_id", "band_hash"),
     )
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), "band_id", "band_hash"
+    posts = banded.groupBy("band_id", "band_hash").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), "band_id", "band_hash"
+    if bucket_cap is not None:
+        posts = posts.observe(
+            observation if observation is not None else "lsh_bucket_cap",
+            F.sum(
+                F.when(F.size("ds") > bucket_cap, F.size("ds")).otherwise(0)
+            ).alias("lsh_dropped_bucket_rows"),
+        ).where(F.size("ds") <= bucket_cap)
+    ds = F.col("ds")
+    pair_arr = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
     )
     return (
-        a.join(b, ["band_id", "band_hash"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        posts.where(F.size("ds") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

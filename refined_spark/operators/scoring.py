@@ -18,9 +18,12 @@ model_components/entity_disambiguation_layer.py:36-119 and ed_layer_2.py:
 - jaro_winkler is an Arrow pandas UDF (functions/similarity.py).
 - cosine stays JVM-side (zip_with/aggregate fold) so engine and oracle
   accumulate in the same order.
-- mention context embedding: deterministic hashed bag-of-words of the doc
-  text, computed once per doc in an Arrow pandas UDF, then joined (never
-  recomputed per candidate).
+- mention context embedding (C1): deterministic hashed bag-of-words of the
+  text spans within +/-CTX_WINDOW of the mention's span offset — the
+  distributed analog of the reference's per-mention token-window pooling
+  (refined_model.py:345-380) — computed once per MENTION in an Arrow
+  pandas UDF, then joined (never recomputed per candidate). Two mentions
+  in one doc get different embedding evidence.
 - Resolution (C5 + P7): argmax via max_by over a tie-broken sort key; NIL
   when best score < ED_THRESHOLD — the variable-length-array equivalent of
   the reference's pad-to-30 + (-1e8 mask) + 0-logit NOTA
@@ -58,9 +61,29 @@ def doc_embed_udf(text: pd.Series) -> pd.Series:
 
 
 def mention_context_embeddings(doc_text_df: DataFrame) -> DataFrame:
-    """(doc_id, text) -> (doc_id, ctx_emb array<double>)."""
+    """(doc_id, text) -> (doc_id, ctx_emb array<double>). DOC-level context
+    — used by the typing stage (doc types are document properties). The
+    scoring cosine uses the per-MENTION windows below (C1)."""
     return doc_text_df.select(
         "doc_id", doc_embed_udf(F.col("text")).alias("ctx_emb")
+    )
+
+
+def mention_window_embeddings(
+    documents: DataFrame, k: int | None = None
+) -> DataFrame:
+    """documents -> (doc_id, mention_id, ctx_emb): per-mention context
+    embedding over the +/-k span window (C1 — reference refined_model.py:
+    345-380 pools per-mention token windows; the old doc-level hashed BoW
+    gave every mention in a doc identical embedding evidence). Window
+    assembly is pure JVM (spans.mention_window_texts); only the hash-embed
+    scatter-add runs in the Arrow UDF, one row per mention."""
+    from refined_spark.config import CTX_WINDOW
+    from refined_spark.operators.spans import mention_window_texts
+
+    wt = mention_window_texts(documents, k if k is not None else CTX_WINDOW)
+    return wt.select(
+        "doc_id", "mention_id", doc_embed_udf(F.col("text")).alias("ctx_emb")
     )
 
 
@@ -90,10 +113,14 @@ def score_candidates(
             "qcode", F.col("emb").cast("array<double>").alias("ent_emb")
         )
     )
+    # per-mention windows (C1) join on mention_id; a doc-level ctx frame
+    # (no mention_id column) still works and joins on doc_id
+    ctx_key = "mention_id" if "mention_id" in ctx_emb.columns else "doc_id"
+    ctx_emb = ctx_emb.select(ctx_key, "ctx_emb")
 
     if "jw" in candidates.columns:
         scored = candidates.join(emb, "qcode", "left").join(
-            ctx_emb, "doc_id", "left"
+            ctx_emb, ctx_key, "left"
         )
     else:
         meta = entity_meta.select(
@@ -115,7 +142,7 @@ def score_candidates(
         scored = (
             candidates.join(maybe_broadcast(jw_tbl), ["block_key", "qcode"], "left")
             .join(emb, "qcode", "left")
-            .join(ctx_emb, "doc_id", "left")
+            .join(ctx_emb, ctx_key, "left")
         )
     # Arrow-vectorized cosine kernel (north rule: "embedding cosine pandas
     # UDFs, no per-row Python"); bit-exact with the oracle's seq_dot/seq_norm
@@ -137,10 +164,9 @@ def score_candidates(
     )
 
 
-RESOLVED_SCHEMA = (
-    "doc_id string, mention_id string, block_key string, offset int, "
-    "qcode string, score double"
-)
+# winners emitted by the fused kernel; the full resolved row re-attaches
+# (block_key, offset, doc_id) from the mentions stage afterwards
+WINNERS_SCHEMA = "mention_id string, qcode string, score double"
 
 # collecting the entity-embedding table to the driver (for the fused
 # broadcast-matrix kernel) is allowed up to this many bytes; beyond it the
@@ -150,6 +176,27 @@ RESOLVED_SCHEMA = (
 EMB_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
 
 
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate for df — NO Spark job runs.
+    For file sources this is the on-disk byte count (filter/column-pruned
+    when CBO stats exist); for local relations the row-count x schema
+    default sizes; unknown plans return spark.sql.defaultSizeInBytes
+    (Long.MaxValue), which any budget comparison treats as 'too big' — the
+    safe direction, since the caller falls back to the row-join plan."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def fused_policy_ok(entity_embeddings: DataFrame) -> bool:
+    """True when the entity-embedding table is plausibly small enough for
+    the fused driver-collect path. Pure plan-statistics check — replaces the
+    old `count() * fixtures.EMB_DIM * 8` probe, which (a) ran a Spark job
+    inside plan construction and (b) hard-coded the FIXTURE embedding width,
+    under-estimating any real-width table. The 2x slack absorbs parquet
+    compression (on-disk bytes < float64 matrix bytes); the kernel's own
+    post-collect guard catches the residual error and falls back."""
+    return plan_size_bytes(entity_embeddings) <= 2 * EMB_BROADCAST_MAX_BYTES
+
+
 def score_resolve_fused(
     merged: DataFrame,
     entity_embeddings: DataFrame,
@@ -157,7 +204,7 @@ def score_resolve_fused(
     threshold: float = ED_THRESHOLD,
     num_buckets: int | None = None,
     mentions: DataFrame | None = None,
-) -> DataFrame:
+) -> DataFrame | None:
     """Fused scoring + resolution for DICTIONARY-SCALE entity sets: one
     cogrouped Arrow stage replaces the per-candidate embedding join, the
     per-candidate ctx join, the cosine UDF pass, and the resolve shuffle.
@@ -168,10 +215,11 @@ def score_resolve_fused(
     N->4N core scale-up (compute quadruples, the memory bus does not).
     Here the per-row payload is just ids + 3 feature doubles (~10x less):
 
-      - candidates and doc-context embeddings are co-partitioned on a
+      - candidates and context embeddings are co-partitioned on a
         doc-hash bucket (pmod(xxhash64(doc_id), B)) and cogrouped — each
-        doc's ctx vector crosses the wire ONCE per stage, not once per
-        candidate;
+        ctx vector crosses the wire ONCE per stage (once per mention with
+        the C1 per-mention windows; once per doc for a doc-level ctx
+        frame), not once per candidate;
       - the entity matrix rides in as a SparkContext broadcast (float64,
         with per-entity seq-norms precomputed in the same dim-sequential
         fold the oracle uses) — guarded by EMB_BROADCAST_MAX_BYTES, the
@@ -192,19 +240,28 @@ def score_resolve_fused(
     first() aggregation of `merged` otherwise. On this sandbox's
     IOPS-throttled disk the exchange is the scoring stage's hardest
     scaling bound, and at 100 TB the same bytes are the network bill.
+
+    Returns None — NEVER raises — when the entity table is over the
+    fused-path budget: first from the plan-statistics pre-check (no
+    collect happens at all), then from a post-collect guard on the actual
+    matrix bytes in case the estimate was low. Callers fall back to
+    score_candidates + resolve.
     """
     spark = merged.sparkSession
     nb = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # per-mention ctx (C1 windows) keys on mention_id; a doc-level ctx frame
+    # keys on doc_id — either way the ctx rows bucket by doc_id so they land
+    # with their candidates
+    ctx_join_key = "mention_id" if "mention_id" in ctx_emb.columns else "doc_id"
 
+    if not fused_policy_ok(entity_embeddings):
+        return None
     pdf = entity_embeddings.select("qcode", "emb").toPandas()
     mat = np.asarray(
         [np.asarray(v, dtype=np.float64) for v in pdf["emb"]], dtype=np.float64
     )
     if mat.size and mat.nbytes > EMB_BROADCAST_MAX_BYTES:
-        raise ValueError(
-            f"entity matrix {mat.nbytes >> 20} MiB exceeds the fused-path "
-            "budget; use score_candidates + resolve (row-join plan)"
-        )
+        return None
     qcodes_np = pdf["qcode"].to_numpy(dtype=object)
     # numeric qcodes for the oracle's tie-break, precomputed once — never
     # regex-parsed per candidate row
@@ -263,6 +320,15 @@ def score_resolve_fused(
 
         qcode_arr = mtb.column("qcode").combine_chunks()
         mention_arr = mtb.column("mention_id").combine_chunks()
+        # the argmax grouping below uses dictionary_encode(mention_id)
+        # indices; a null mention_id would yield a NaN index that casts to
+        # a garbage int64 group code SILENTLY — fail loud instead (mention
+        # ids are non-null by construction in spans.extract_mentions)
+        if mention_arr.null_count:
+            raise ValueError(
+                f"{mention_arr.null_count} null mention_id rows reached the "
+                "fused scoring kernel"
+            )
         qnull = pc.is_null(qcode_arr).to_numpy(zero_copy_only=False)
 
         # vectorized hash probes (Arrow C++, not per-row Python): entity
@@ -273,10 +339,10 @@ def score_resolve_fused(
         ).to_numpy(zero_copy_only=False).astype(np.int64)
         n_ctx = ctb.num_rows
         if n_ctx:
-            ctx_docs = ctb.column("ctx_doc_id").combine_chunks()
+            ctx_keys = ctb.column("ctx_key").combine_chunks()
             d_of_row = pc.fill_null(
-                pc.index_in(mtb.column("doc_id").combine_chunks(),
-                            value_set=ctx_docs), -1
+                pc.index_in(mtb.column(ctx_join_key).combine_chunks(),
+                            value_set=ctx_keys), -1
             ).to_numpy(zero_copy_only=False).astype(np.int64)
             ctx_mat = _list_to_matrix(ctb.column("ctx_emb"), n_ctx, dim)
         else:
@@ -387,8 +453,11 @@ def score_resolve_fused(
             "score": pa.array(sc, from_pandas=True),
         })
         if _trace:
-            with open(f"{_trace}/k_{_os.getpid()}.log", "a") as fh:
-                fh.write(f"{n} {_time.time() - _t0:.3f}\n")
+            try:  # instrumentation must never fail the production job
+                with open(f"{_trace}/k_{_os.getpid()}.log", "a") as fh:
+                    fh.write(f"{n} {_time.time() - _t0:.3f}\n")
+            except OSError:
+                pass
         return out
 
     bucket = F.pmod(F.xxhash64("doc_id"), F.lit(nb)).cast("int")
@@ -398,14 +467,14 @@ def score_resolve_fused(
     # rename the ctx side: merged and ctx_emb usually share lineage (both
     # derive from `documents`), and cogroup would see ambiguous doc_id refs
     c = ctx_emb.select(
-        F.col("doc_id").alias("ctx_doc_id"), "ctx_emb"
-    ).withColumn("_b", F.pmod(F.xxhash64("ctx_doc_id"), F.lit(nb)).cast("int"))
+        F.col(ctx_join_key).alias("ctx_key"),
+        "ctx_emb",
+        F.pmod(F.xxhash64("doc_id"), F.lit(nb)).cast("int").alias("_b"),
+    )
     winners = (
         m.groupBy("_b")
         .cogroup(c.groupBy("_b"))
-        .applyInArrow(
-            kernel, "mention_id string, qcode string, score double"
-        )
+        .applyInArrow(kernel, WINNERS_SCHEMA)
     )
     if mentions is not None:
         attrs = mentions.select("mention_id", "doc_id", "block_key", "offset")

@@ -103,6 +103,48 @@ def doc_text(documents: DataFrame) -> DataFrame:
     )
 
 
+def mention_window_texts(documents: DataFrame, k: int) -> DataFrame:
+    """(doc_id, mention_id, text): for EVERY text span (== every mention,
+    extract_mentions semantics), the offset-ordered concatenation of the
+    text spans whose offset lies within +/- k of that span's offset — the
+    per-mention context window for the C1 featurizer (the reference pools
+    per-mention token windows: refined_model.py:345-380).
+
+    Entirely from the documents table — no join against the mentions frame
+    (each mention IS a text span, and mention_id = doc_id#offset matches
+    extract_mentions exactly), and entirely JVM-side: nested higher-order
+    functions over the span array, so the only cost is the explode. Media
+    spans never enter a window, but they DO occupy offset space, so a
+    mention surrounded by media gets a smaller textual window — the
+    interleaved-document semantics the input_hint mandates."""
+    sp = F.filter(
+        sorted_spans(F.col("spans")),
+        lambda s: (s["kind"] == F.lit("text")) & (F.length(s["text"]) > 0),
+    )
+    wins = F.transform(
+        sp,
+        lambda s: F.struct(
+            F.concat_ws(
+                "#", F.col("doc_id"), s["offset"].cast("string")
+            ).alias("mention_id"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        sp,
+                        lambda t: (t["offset"] >= s["offset"] - k)
+                        & (t["offset"] <= s["offset"] + k),
+                    ),
+                    lambda t: t["text"],
+                ),
+                " ",
+            ).alias("text"),
+        ),
+    )
+    return documents.select(
+        "doc_id", F.explode(wins).alias("w")
+    ).select("doc_id", "w.mention_id", "w.text")
+
+
 def assemble_doc_spans(flat_spans: DataFrame, span_cols: list[str]) -> DataFrame:
     """Operator A8: regroup flat per-span rows back into their documents as
     an offset-ordered array — the reference's doc re-assembly after batch

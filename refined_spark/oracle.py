@@ -13,7 +13,10 @@ Decision rule per mention (reference semantics, re-expressed):
        donation = (qcode, min(prior, COREF_CAP)); merge with direct candidates
                  keeping max prior per qcode
   4. features: prior, jaro_winkler(block_key, norm(label)),
-     lev_sim(block_key, norm(label)), cosine(mention_emb, entity_emb)
+     lev_sim(block_key, norm(label)), cosine(mention_emb, entity_emb) —
+     mention_emb hashes the text spans within +/-CTX_WINDOW of the
+     mention's span offset (C1: per-mention windows, reference
+     refined_model.py:345-380; NOT the whole document)
   5. score = W_PRIOR*prior + W_JW*jw + W_LEV*lev + W_COS*max(cos, 0)
   6. winner = argmax score (ties -> smaller numeric qcode); NIL if score < ED_THRESHOLD
 Clusters = connected components over mentions sharing a winner entity.
@@ -26,6 +29,7 @@ from collections import defaultdict
 from refined_spark.config import (
     COREF_CAP,
     COREF_FLOOR,
+    CTX_WINDOW,
     ED_THRESHOLD,
     MAX_CANDIDATES,
     W_COS,
@@ -61,16 +65,29 @@ def cosine(a, b) -> float:
     return seq_dot(a, b) / (na * nb)
 
 
+def mention_window_text(
+    text_spans: list[tuple[int, str]], offset: int, k: int = CTX_WINDOW
+) -> str:
+    """Per-mention context window: the offset-ordered text spans whose
+    offset lies within +/-k of the mention's span offset, joined by ' ' —
+    the exact rule spans.mention_window_texts evaluates JVM-side."""
+    return " ".join(
+        t for o, t in text_spans if offset - k <= o <= offset + k
+    )
+
+
 def resolve_mentions(
     mentions: list[dict],
     pem: dict[str, list[tuple[str, float]]],
     entity_meta: dict[str, dict],
     entity_emb: dict[str, list[float]],
     human_qcodes: set[str],
-    doc_texts: dict[str, str],
+    doc_spans: dict[str, list[tuple[int, str]]],
 ) -> dict[str, str | None]:
-    """mentions: [{doc_id, mention_id, surface, offset}]; returns
-    mention_id -> winner qcode (or None for NIL)."""
+    """mentions: [{doc_id, mention_id, surface, offset}]; doc_spans maps
+    doc_id -> offset-sorted [(offset, text)] TEXT spans (media spans occupy
+    offset space but never enter a window). Returns mention_id -> winner
+    qcode (or None for NIL)."""
     by_doc: dict[str, list[dict]] = defaultdict(list)
     for m in mentions:
         mm = dict(m)
@@ -95,8 +112,9 @@ def resolve_mentions(
                         if capped > donations[t].get(q, -1.0):
                             donations[t][q] = capped
         # --- merge + score
-        mention_emb = hash_embed(doc_texts.get(doc_id, ""))
+        spans_d = doc_spans.get(doc_id, [])
         for m in ms:
+            mention_emb = hash_embed(mention_window_text(spans_d, m["offset"]))
             merged: dict[str, float] = {}
             for q, p in m["cands"]:
                 merged[q] = max(merged.get(q, -1.0), p)

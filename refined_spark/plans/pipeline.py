@@ -127,29 +127,34 @@ def run(
     # scoring path selection (size-aware, like the broadcast policy): the
     # fused cogrouped kernel needs the entity matrix on the driver — legal
     # only at dictionary scale (EMB_BROADCAST_MAX_BYTES); beyond that the
-    # row-join plan is the only safe shape.
+    # row-join plan is the only safe shape. The auto policy reads Catalyst
+    # plan statistics only (fused_policy_ok — no Spark job before the
+    # pipeline's first real action), and score_resolve_fused returns None
+    # instead of raising if the collected matrix still lands over budget,
+    # so an optimistic estimate degrades to the row-join plan, never to a
+    # crash.
     use_fused = fused_scoring
     if use_fused is None:
-        n_ent = entity_embeddings.count()
-        from refined_spark.fixtures import EMB_DIM
+        use_fused = scoring.fused_policy_ok(entity_embeddings)
 
-        use_fused = n_ent * EMB_DIM * 8 <= scoring.EMB_BROADCAST_MAX_BYTES
+    def make_scored():
+        ctx = scoring.mention_window_embeddings(documents)
+        return scoring.score_candidates(
+            merged, entity_meta, entity_embeddings, ctx
+        )
 
     if use_fused:
         def make_resolved():
-            ctx = scoring.mention_context_embeddings(spans.doc_text(documents))
-            return scoring.score_resolve_fused(
+            ctx = scoring.mention_window_embeddings(documents)
+            r = scoring.score_resolve_fused(
                 merged, entity_embeddings, ctx, mentions=mentions
             )
+            if r is None:  # over the driver-collect budget after all
+                r = scoring.resolve(make_scored())
+            return r
 
         resolved = stage("resolved", make_resolved)
     else:
-        def make_scored():
-            ctx = scoring.mention_context_embeddings(spans.doc_text(documents))
-            return scoring.score_candidates(
-                merged, entity_meta, entity_embeddings, ctx
-            )
-
         scored = stage("scored", make_scored)
         resolved = stage("resolved", lambda: scoring.resolve(scored))
     if store is None:

@@ -5,9 +5,9 @@ import pyspark.sql.functions as F
 from refined_spark.operators.clustering import connected_components
 
 
-def _components(spark, edges):
+def _components(spark, edges, check_every=2):
     df = spark.createDataFrame(edges, "src long, dst long")
-    rows = connected_components(df).collect()
+    rows = connected_components(df, check_every=check_every).collect()
     comp = {}
     for r in rows:
         comp.setdefault(r.component, set()).add(r.node)
@@ -41,10 +41,13 @@ def test_multi_parent_round_output_not_accepted_as_converged(spark):
     large+small round the edge set is {(3,1),(3,2),(10,1),(20,2)} — node 3
     has TWO parents. That state passes the naive 'no node is both child and
     parent' test, and stopping there splits {2,20} from {1,3,10}. The
-    convergence test must also require one parent per child."""
-    assert _components(spark, [(10, 1), (10, 3), (20, 3), (20, 2)]) == [
-        [1, 2, 3, 10, 20]
-    ]
+    convergence test must also require one parent per child.
+    check_every=1 checks after EVERY round — the premature-stop shape the
+    forest test must reject (the batched default would mask a broken test
+    by happening to check only at even rounds)."""
+    assert _components(
+        spark, [(10, 1), (10, 3), (20, 3), (20, 2)], check_every=1
+    ) == [[1, 2, 3, 10, 20]]
 
 
 def test_bridge_between_two_stars(spark):
@@ -52,6 +55,14 @@ def test_bridge_between_two_stars(spark):
     edges = [(100, i) for i in range(1, 5)] + [(200, i) for i in range(5, 9)]
     edges += [(100, 50), (200, 50)]
     assert _components(spark, edges) == [[1, 2, 3, 4, 5, 6, 7, 8, 50, 100, 200]]
+
+
+def test_check_every_batching_is_invariant(spark):
+    # batching rounds between convergence checks must never change the
+    # result (a converged forest is a fixpoint, so overshooting is a no-op)
+    edges = [(i, i + 1) for i in range(20)] + [(100, i) for i in range(30, 35)]
+    expected = _components(spark, edges, check_every=1)
+    assert _components(spark, edges, check_every=3) == expected
 
 
 def test_component_label_is_min_id(spark):

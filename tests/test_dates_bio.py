@@ -71,3 +71,38 @@ def test_bio_decode(spark):
         ("d2", 0, 10, "ORG"),
         ("d2", 16, 4, "PER"),
     }
+
+
+def test_weak_tagger_roundtrip_and_aida_e2e(spark, tmp_path):
+    """The C6 producer: weak_label_bio_tags over the AIDA fixture docs,
+    decode_bio back to spans, and the DECODED spans (not the gold ones)
+    re-derive every mention surface via substring — the EL-mode loop
+    reader -> tags -> decode -> mentions runs end-to-end."""
+    from refined_spark.fixtures import generate_eval_datasets
+    from refined_spark.operators.bio import decode_bio, weak_label_bio_tags
+    from refined_spark.sources.datasets import read_aida_jsonl
+
+    fx = generate_eval_datasets(str(tmp_path), n_docs=25, seed=11)
+    red = spark.read.json(fx["redirects"],
+                          schema="src_title string, dest_title string")
+    wq = spark.read.json(fx["wiki_qcode"],
+                         schema="wiki_title string, qcode string")
+    out = read_aida_jsonl(spark, fx["aida"], red, wq, None)
+    docs, md = out["docs"], out["md_spans"]
+
+    tags = weak_label_bio_tags(docs, md.select("doc_id", "start",
+                                               F.col("length").alias("ln")))
+    decoded = decode_bio(tags)
+
+    gold = {(r.doc_id, r.start, r.length) for r in md.collect()}
+    got = {(r.doc_id, r.start, r.ln) for r in decoded.collect()}
+    assert got == gold  # token-aligned spans round-trip exactly
+
+    # mentions FROM DECODED SPANS: surfaces must equal the gold span texts
+    mentions = decoded.join(docs, "doc_id").select(
+        "doc_id", "start",
+        F.expr("substring(text, start + 1, ln)").alias("surface"),
+    )
+    gold_surf = {(r.doc_id, r.start, r.span_text) for r in md.collect()}
+    got_surf = {(r.doc_id, r.start, r.surface) for r in mentions.collect()}
+    assert got_surf == gold_surf

@@ -92,3 +92,41 @@ def test_ngram_jaccard_pairs(spark):
     d = _docs(spark, [("a", BASE), ("b", NEAR), ("c", OTHER)])
     pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5).collect()
     assert {(r.doc_a, r.doc_b) for r in pairs} == {("a", "b")}
+
+
+def test_lsh_hot_bucket_cap_bounds_degenerate_corpus(spark):
+    """A boilerplate corpus (every doc identical) puts all docs in one
+    bucket per band: uncapped that is O(n^2) pairs; with bucket_cap the
+    job completes with ZERO pairs and the dropped volume is reported via
+    the Observation — no silent caps."""
+    from pyspark.sql import Observation
+
+    from refined_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    n = 50
+    docs = spark.createDataFrame(
+        [(f"d{i:03d}", "the same boilerplate footer text " * 4) for i in range(n)],
+        "doc_id string, text string",
+    )
+    sigs = minhash_signatures(docs, k=5, num_hashes=8)
+    obs = Observation("lsh_cap_test")
+    pairs = lsh_candidate_pairs(sigs, bands=4, num_hashes=8,
+                                bucket_cap=10, observation=obs)
+    assert pairs.count() == 0  # every bucket is hotter than the cap
+    # 4 bands x 50 docs = 200 doc-slots, all dropped
+    assert obs.get["lsh_dropped_bucket_rows"] == 4 * n
+
+    # a mixed corpus: hot boilerplate plus one true near-dup pair in a
+    # calm bucket — the cap must keep the calm pair
+    uniq = spark.createDataFrame(
+        [("u1", "completely different unique text about regional summits"),
+         ("u2", "completely different unique text about regional summit")],
+        "doc_id string, text string",
+    )
+    sigs2 = minhash_signatures(docs.unionByName(uniq), k=5, num_hashes=8)
+    pairs2 = lsh_candidate_pairs(sigs2, bands=4, num_hashes=8, bucket_cap=10)
+    got = {(r.doc_a, r.doc_b) for r in pairs2.collect()}
+    assert got == {("u1", "u2")}
