@@ -137,12 +137,16 @@ def main_bench() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     corpus = ensure_er_corpus()
-    # one uncounted warm-up: the first execution of the fused ER plan pays
-    # ~60-90s of one-time whole-stage-codegen (Janino) compilation that the
-    # codegen cache then absorbs — steady-state throughput is the honest
-    # number (the one-time compile amortizes to nothing at 100 TB)
-    run_er_pipeline(spark, corpus)
-    er_sec, n_docs = run_er_pipeline(spark, corpus)
+    # three uncounted warm-ups: run 1 pays one-time whole-stage-codegen
+    # (Janino) compilation, runs 2-3 finish JVM C2 tiering — the fused ER
+    # plan reaches steady state on run ~4 (measured settle sequence:
+    # 115 -> 224 -> 39 -> 13s). Steady-state throughput is the honest
+    # number: the JIT cost is per-JVM-lifetime and amortizes to nothing
+    # over a 100 TB run. Min of 2 measured runs guards against host bursts.
+    for _ in range(3):
+        run_er_pipeline(spark, corpus)
+    samples = [run_er_pipeline(spark, corpus) for _ in range(2)]
+    er_sec, n_docs = min(samples)
     timings["er_pipeline"] = round(er_sec, 3)
 
     total = round(sum(timings.values()), 3)
@@ -229,6 +233,27 @@ def prep_stage_inputs(corpus: str) -> str:
 
 
 BENCH_RUNS = int(os.environ.get("REFINED_SPARK_BENCH_RUNS", "5"))
+# measured runs wait (up to 5 min) for the machine's instantaneous busy
+# fraction below this before starting. loadavg(1m) is the WRONG gate here:
+# our own just-finished warm-up pollutes it for minutes; /proc/stat over a
+# 1 s window sees only what is running RIGHT NOW (we are idle between runs,
+# so anything busy is host noise / another tenant).
+MAX_BENCH_BUSY = float(os.environ.get("REFINED_SPARK_MAX_BENCH_BUSY", "0.15"))
+
+
+def _busy_frac(interval: float = 1.0) -> float:
+    """Machine-wide non-idle CPU fraction over `interval` seconds."""
+    def snap():
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+        return idle, sum(vals)
+    i0, t0 = snap()
+    time.sleep(interval)
+    i1, t1 = snap()
+    dt = t1 - t0
+    return 1.0 - (i1 - i0) / dt if dt else 0.0
 
 
 def stage_run(corpus: str, prep: str, stage: str, cores: int,
@@ -244,7 +269,7 @@ def stage_run(corpus: str, prep: str, stage: str, cores: int,
                    materialized post-coref candidates
       clustering — large-star/small-star connected components over the
                    sharded resolved-mention edge set
-      e2e        — the full pipeline (context number, 1 measured run)
+      e2e        — the full pipeline (context number, 3 measured runs)
     """
     from refined_spark.operators import clustering, scoring, spans
     from refined_spark.session import get_spark
@@ -288,7 +313,7 @@ def stage_run(corpus: str, prep: str, stage: str, cores: int,
 
     elif stage == "e2e":
         n_items = spark.read.parquet(f"{corpus}/documents.parquet").count()
-        runs = 1
+        runs = min(runs, 3)  # e2e runs are ~minutes each
 
         def body():
             run_er_pipeline(spark, corpus)
@@ -303,7 +328,17 @@ def stage_run(corpus: str, prep: str, stage: str, cores: int,
         body()
         _unpersist_all(spark)
     secs = []
+    loads = []
     for _ in range(runs):
+        # noise gate: wait for the instantaneous machine busy fraction to
+        # drop (we are idle here, so busy == host noise) rather than
+        # publish a poisoned sample — the round-2 lesson, where single
+        # contaminated runs flipped the gate verdict run-to-run
+        for _ in range(60):
+            if _busy_frac() <= MAX_BENCH_BUSY:
+                break
+            time.sleep(4)
+        loads.append(round(os.getloadavg()[0], 2))
         t0 = time.time()
         body()
         secs.append(time.time() - t0)
@@ -311,6 +346,7 @@ def stage_run(corpus: str, prep: str, stage: str, cores: int,
     best = min(secs)
     print(json.dumps({"stage": stage, "cores": cores, "sec": round(best, 2),
                       "all_secs": [round(s, 2) for s in sorted(secs)],
+                      "loadavg_at_start": loads,
                       "items_per_sec": round(n_items / best, 1),
                       "n_items": n_items}))
     spark.stop()
@@ -334,17 +370,38 @@ def main_scaling() -> None:
 
         _sp.run([sys.executable, os.path.abspath(__file__), "--prep-run", corpus],
                 check=True, capture_output=True, text=True)
+    def one_arm(stage: str, cores: int, runs: int) -> dict:
+        cmd = [
+            "taskset", "-c", f"0-{cores - 1}",
+            sys.executable, os.path.abspath(__file__),
+            "--stage-run", corpus, prep, stage, str(cores), str(runs),
+        ]
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    # interleaved arms: each stage runs 8 -> 32 -> 8 -> 32 (two passes with
+    # half the samples each), so a host-noise burst poisons BOTH arms
+    # instead of silently skewing one — the round-2 failure mode where the
+    # published efficiency flipped between 0.443 and 0.842 run-to-run.
+    # The min across passes is the estimator either way. e2e is one pass
+    # (runs are minutes each) but now 3 measured runs, not 1.
     results: dict[tuple[str, int], dict] = {}
     for stage in ("scoring", "clustering", "e2e"):
-        for cores in (8, 32):
-            cmd = [
-                "taskset", "-c", f"0-{cores - 1}",
-                sys.executable, os.path.abspath(__file__),
-                "--stage-run", corpus, prep, stage, str(cores),
-            ]
-            out = subprocess.run(cmd, capture_output=True, text=True, check=True)
-            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-            results[(stage, cores)] = json.loads(line)
+        passes = 1 if stage == "e2e" else 2
+        per_pass = BENCH_RUNS if stage == "e2e" else max(BENCH_RUNS // 2, 2)
+        for _ in range(passes):
+            for cores in (8, 32):
+                r = one_arm(stage, cores, per_pass)
+                prev = results.get((stage, cores))
+                if prev is None:
+                    results[(stage, cores)] = r
+                else:
+                    prev["all_secs"] = sorted(prev["all_secs"] + r["all_secs"])
+                    prev["loadavg_at_start"] += r["loadavg_at_start"]
+                    if r["sec"] < prev["sec"]:
+                        prev["sec"] = r["sec"]
+                        prev["items_per_sec"] = r["items_per_sec"]
 
     def eff(stage: str) -> float:
         return (results[(stage, 32)]["items_per_sec"]
@@ -366,7 +423,7 @@ def main_scaling() -> None:
         "North-rule criterion: throughput scaling efficiency >= 0.8 between",
         "N and 4N executors **on the clustering and scoring stages**. Sandbox",
         "stand-in: the identical job on the identical input in two JVMs pinned",
-        "with taskset to 8 cores (N) and 32 cores (4N); best of 5 measured",
+        "with taskset to 8 cores (N) and 32 cores (4N); best of the measured",
         "runs after two warm-up runs (warm-ups absorb one-time",
         "whole-stage-codegen + JIT compilation, which amortizes to nothing at",
         "100 TB; best-of-N is the robust estimator on this noisy shared VM —",
@@ -392,9 +449,13 @@ def main_scaling() -> None:
         "README.md:225 of the reference). This engine end-to-end at local[8]: "
         f"{results[('e2e', 8)]['items_per_sec']:,.0f} docs/s.",
         "",
-        "Raw samples (seconds, sorted ascending):",
+        "Raw samples (seconds, sorted ascending; loadavg(1m) sampled before",
+        "each measured run — runs wait for the instantaneous machine busy "
+        f"fraction <= {MAX_BENCH_BUSY} before starting; arms interleaved "
+        "8/32/8/32):",
         *[
             f"- {stage} local[{cores}]: {results[(stage, cores)]['all_secs']}"
+            f" (load {results[(stage, cores)]['loadavg_at_start']})"
             for stage in ("scoring", "clustering", "e2e")
             for cores in (8, 32)
         ],
@@ -414,7 +475,9 @@ if __name__ == "__main__":
         print(prep_stage_inputs(sys.argv[i + 1]))
     elif "--stage-run" in sys.argv:
         i = sys.argv.index("--stage-run")
-        stage_run(sys.argv[i + 1], sys.argv[i + 2], sys.argv[i + 3], int(sys.argv[i + 4]))
+        stage_run(sys.argv[i + 1], sys.argv[i + 2], sys.argv[i + 3],
+                  int(sys.argv[i + 4]),
+                  int(sys.argv[i + 5]) if len(sys.argv) > i + 5 else BENCH_RUNS)
     elif "--scaling" in sys.argv:
         main_scaling()
     else:

@@ -83,13 +83,19 @@ def hash_embed(text: str, dim: int = EMB_DIM) -> list[float]:
 _BUCKET_CACHE: dict[str, tuple[int, float, int, float]] = {}
 
 
-def hash_embed_batch(texts, dim: int = EMB_DIM) -> np.ndarray:
+def hash_embed_batch(texts, dim: int = EMB_DIM, normalize: bool = True) -> np.ndarray:
     """Vectorized batch version of hash_embed: one (len(texts), dim) float64
     matrix. Bit-identical to the scalar version — every token contributes
     only ±1 / ±0.5, so all partial sums are exactly representable and the
     accumulation order is irrelevant. Token bucket hashes are memoized, so
     md5 runs once per DISTINCT token per Python worker, and the scatter-add
-    is a single numpy np.add.at over the whole Arrow batch."""
+    is a single numpy np.add.at over the whole Arrow batch.
+
+    normalize=False returns the raw (unnormalized) token-count vectors.
+    Because every element is then a multiple of 0.5 (exactly representable),
+    sums and differences of these vectors are EXACT — the window featurizer
+    exploits this to build per-mention windows from per-span vectors via
+    prefix sums, then applies the same norm as the scalar path."""
     n = len(texts)
     tok_lists = [(t.lower().split() if t else []) for t in texts]
     counts = np.fromiter((len(ts) for ts in tok_lists), dtype=np.int64, count=n)
@@ -113,8 +119,9 @@ def hash_embed_batch(texts, dim: int = EMB_DIM) -> np.ndarray:
                 k += 1
         flat = out.reshape(-1)
         np.add.at(flat, np.concatenate([row + idx[:total], row + idx[total:]]), val)
-        norms = np.linalg.norm(out, axis=1, keepdims=True)
-        np.divide(out, norms, out=out, where=norms > 0)
+        if normalize:
+            norms = np.linalg.norm(out, axis=1, keepdims=True)
+            np.divide(out, norms, out=out, where=norms > 0)
     return out
 
 

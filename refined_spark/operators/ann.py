@@ -80,13 +80,53 @@ def lsh_signature_col(emb: Column, planes: list[list[float]]) -> Column:
     return sig.cast("long")
 
 
+def lsh_probe_buckets_col(emb: Column, planes: list[list[float]],
+                          probes: int) -> Column:
+    """Array of `probes` bucket ids for multi-probe LSH: the vector's own
+    bucket first, then the buckets reached by flipping the signature bit
+    whose hyperplane margin |dot| is smallest (the bits most likely to
+    differ for a true neighbour — classic multi-probe ordering). Pure JVM:
+    per-plane dots, one array_sort over (|margin|, bit) structs, flips by
+    xor. Runs on the QUERY side only, which is small by contract."""
+    ds = [
+        dot_col(emb, F.array(*[F.lit(float(x)) for x in p])) for p in planes
+    ]
+    sig = F.lit(0)
+    for i, d in enumerate(ds):
+        sig = sig + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    sig = sig.cast("long")
+    if probes <= 1:
+        return F.array(sig)
+    margins = F.array_sort(
+        F.array(
+            *[
+                F.struct(F.abs(d).alias("m"), F.lit(i).alias("i"))
+                for i, d in enumerate(ds)
+            ]
+        )
+    )
+    # shiftleft needs a plan-time int for the shift amount; index a literal
+    # power-of-two array instead (element_at is 1-based)
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(len(planes))])
+    flips = F.transform(
+        F.slice(margins, 1, probes - 1),
+        lambda s: sig.bitwiseXOR(F.element_at(powers, s["i"] + 1)),
+    )
+    return F.concat(F.array(sig), flips)
+
+
 def cosine_topk_lsh(
     vectors: DataFrame, queries: DataFrame, dim: int, k: int = 10, bits: int = 8,
     id_col: str = "vec_id", emb_col: str = "embedding",
-    query_id_col: str = "query_id",
+    query_id_col: str = "query_id", probes: int = 1,
 ) -> DataFrame:
-    """IVF/LSH-bucketed ANN: exact re-rank within the query's bucket.
-    Recall < 1 by construction; bits trades recall vs bucket size.
+    """IVF/LSH-bucketed ANN: exact re-rank within the query's bucket(s).
+    Recall < 1 by construction; bits trades recall vs bucket size, and
+    probes > 1 (multi-probe) additionally searches the probes-1 buckets
+    whose signature differs in one low-margin bit — recall approaches
+    brute force at probes ~ bits without shrinking bucket granularity.
+    Probed buckets are distinct and each corpus vector lives in exactly
+    one bucket, so no (query, vec) pair is scored twice.
 
     `dim` is required: plan construction must never run a Spark job, and a
     first()/collect() probe to sniff the embedding width would compute the
@@ -100,7 +140,9 @@ def cosine_topk_lsh(
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(emb_col).alias("q_emb"),
-        lsh_signature_col(F.col(emb_col), planes).alias("bucket"),
+        F.explode(
+            lsh_probe_buckets_col(F.col(emb_col), planes, probes)
+        ).alias("bucket"),
     )
     scored = v.join(broadcast_dim(q), "bucket").select(
         "query_id",

@@ -37,6 +37,23 @@ def normalized_text_col(text: Column) -> Column:
     return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
 
 
+def ordered_pairs_col(ds: Column) -> Column:
+    """All (ds[i], ds[j]) i<j pairs of a sorted posting list, as an array
+    of (doc_a, doc_b) structs — the JVM-side pair emitter shared by every
+    posting-list blocking plan here (LSH band buckets, n-gram inverted
+    index, SimHash pigeonhole blocks). transform+slice+flatten: no lateral
+    self-join, no pair re-association by key."""
+    return F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+
+
 def exact_duplicates(documents: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (normalized) documents:
@@ -128,19 +145,9 @@ def lsh_candidate_pairs(
                 F.when(F.size("ds") > bucket_cap, F.size("ds")).otherwise(0)
             ).alias("lsh_dropped_bucket_rows"),
         ).where(F.size("ds") <= bucket_cap)
-    ds = F.col("ds")
-    pair_arr = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + F.lit(2), F.size(ds)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     return (
         posts.where(F.size("ds") >= 2)
-        .select(F.explode(pair_arr).alias("p"))
+        .select(F.explode(ordered_pairs_col(F.col("ds"))).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
@@ -229,6 +236,63 @@ def simhash_near_dups(documents: DataFrame, num_bits: int = 16,
     )
 
 
+def simhash_pairs(documents: DataFrame, num_bits: int = 16, radius: int = 2,
+                  text_col: str = "text") -> DataFrame:
+    """All pairs within hamming distance <= radius of each other's SimHash
+    — EXACT (recall 1, unlike probabilistic LSH banding): pigeonhole block
+    partition. The b-bit hash splits into radius+1 contiguous blocks; two
+    hashes differing in <= radius bits must agree on at least one whole
+    block, so blocking on (block_id, block_value) misses nothing. Returns
+    (doc_a, doc_b, hamming), doc_a < doc_b.
+
+    Plan: explode radius+1 block keys per doc (bit shift+mask, pure JVM),
+    posting-list pair emission per block bucket (ordered_pairs_col — same
+    shape as LSH/ngram, never a self-join), distinct (a pair can agree on
+    several blocks), then one join back to the hashes for the
+    bit_count(xor) verify. Scale: the blow-up factor is radius+1 rows per
+    doc (constant), buckets shrink exponentially with block width; only
+    8-byte keys and ids shuffle."""
+    nb = radius + 1
+    if num_bits < nb:
+        raise ValueError(f"num_bits={num_bits} < radius+1={nb}")
+    h = documents.select(
+        "doc_id", simhash_col(F.col(text_col), num_bits).alias("sh")
+    )
+    widths = [num_bits // nb + (1 if i < num_bits % nb else 0) for i in range(nb)]
+    lows = [sum(widths[:i]) for i in range(nb)]
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("sh"), lo)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("val"),
+            )
+            for i, (lo, w) in enumerate(zip(lows, widths))
+        ]
+    )
+    posts = (
+        h.select("doc_id", F.explode(keys).alias("k"))
+        .groupBy("k.blk", "k.val")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    )
+    pairs = (
+        posts.where(F.size("ds") >= 2)
+        .select(F.explode(ordered_pairs_col(F.col("ds"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    ha = h.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    hb = h.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= radius)
+    )
+
+
 def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5,
                         text_col: str = "text", df_cap: int | None = 1000) -> DataFrame:
     """Word n-gram Jaccard near-dup over the frequent-gram-pruned sets.
@@ -271,18 +335,8 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_grams"))
     )
-    ds = F.col("ds")
-    pair_arr = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + F.lit(2), F.size(ds)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     common = (
-        posts.select(F.explode(pair_arr).alias("p"))
+        posts.select(F.explode(ordered_pairs_col(F.col("ds"))).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))

@@ -75,16 +75,78 @@ def mention_window_embeddings(
     """documents -> (doc_id, mention_id, ctx_emb): per-mention context
     embedding over the +/-k span window (C1 — reference refined_model.py:
     345-380 pools per-mention token windows; the old doc-level hashed BoW
-    gave every mention in a doc identical embedding evidence). Window
-    assembly is pure JVM (spans.mention_window_texts); only the hash-embed
-    scatter-add runs in the Arrow UDF, one row per mention."""
-    from refined_spark.config import CTX_WINDOW
-    from refined_spark.operators.spans import mention_window_texts
+    gave every mention in a doc identical embedding evidence).
 
-    wt = mention_window_texts(documents, k if k is not None else CTX_WINDOW)
-    return wt.select(
-        "doc_id", "mention_id", doc_embed_udf(F.col("text")).alias("ctx_emb")
+    Each span's tokens are hashed ONCE per document, not once per window
+    it appears in: adjacent windows overlap, so the naive plan (assemble
+    window text JVM-side, hash each window — spans.mention_window_texts +
+    doc_embed_udf) re-hashes every span ~|window|/|span-gap| times
+    (profiled at ~5x the token work, the single largest cost in the
+    pipeline). Here a mapInPandas kernel hashes all spans of an Arrow
+    batch in one scatter-add (hash_embed_batch, unnormalized), builds an
+    offset-sorted prefix-sum matrix per doc, and reads every window off
+    as pre[hi] - pre[lo] with two searchsorted calls. Bit-exact with the
+    hash-the-window-text plan AND the oracle: pre-norm elements are sums
+    of ±1/±0.5 token contributions (multiples of 0.5 — exactly
+    representable, order-independent), so cumsum/difference lose nothing,
+    and the final norm is the same np.linalg.norm over an exact vector.
+    Scale shape: one narrow scan of (doc_id, spans), zero joins, zero
+    shuffles — output partitioning inherits the scan."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from refined_spark.config import CTX_WINDOW
+
+    kk = k if k is not None else CTX_WINDOW
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("mention_id", StringType()),
+            StructField("ctx_emb", ArrayType(DoubleType())),
+        ]
     )
+
+    def kernel(batches):
+        for pdf in batches:
+            doc_ids = pdf["doc_id"].tolist()
+            offs_per_doc: list[np.ndarray] = []
+            all_texts: list[str] = []
+            for spans in pdf["spans"]:
+                tx = [
+                    (s["offset"], s["text"])
+                    for s in spans
+                    if s["kind"] == "text" and s["text"]
+                ]
+                tx.sort(key=lambda p: p[0])
+                offs_per_doc.append(
+                    np.fromiter((o for o, _ in tx), dtype=np.int64, count=len(tx))
+                )
+                all_texts.extend(t for _, t in tx)
+            mat = hash_embed_batch(all_texts, normalize=False)
+            dim = mat.shape[1]
+            out_doc: list[str] = []
+            out_mid: list[str] = []
+            out_emb: list[list[float]] = []
+            pos = 0
+            zero = np.zeros((1, dim), dtype=np.float64)
+            for doc_id, offs in zip(doc_ids, offs_per_doc):
+                m = len(offs)
+                if not m:
+                    continue
+                pre = np.vstack([zero, np.cumsum(mat[pos : pos + m], axis=0)])
+                pos += m
+                lo = np.searchsorted(offs, offs - kk, side="left")
+                hi = np.searchsorted(offs, offs + kk, side="right")
+                win = pre[hi] - pre[lo]
+                norms = np.linalg.norm(win, axis=1, keepdims=True)
+                np.divide(win, norms, out=win, where=norms > 0)
+                out_doc.extend([doc_id] * m)
+                out_mid.extend(f"{doc_id}#{o}" for o in offs)
+                out_emb.extend(win.tolist())
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "mention_id": out_mid, "ctx_emb": out_emb}
+            )
+
+    return documents.select("doc_id", "spans").mapInPandas(kernel, schema)
 
 
 def score_candidates(

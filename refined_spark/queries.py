@@ -656,6 +656,54 @@ SELECT doc_id, ({bit_terms})::BIGINT AS simhash FROM h
 SQL_SIMHASH = _sql_simhash(16)
 
 
+_SIMHASH_RADIUS = 3
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs within hamming radius > 0 — exact pigeonhole
+    block blocking (radius+1 blocks; any pair within the radius shares one
+    whole block) + bit_count(xor) verify. The brute-force DuckDB oracle
+    checks recall is exactly 1."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return dedup.simhash_pairs(d, num_bits=16, radius=_SIMHASH_RADIUS).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        "hamming",
+    )
+
+
+def _sql_simhash_pairs(num_bits: int = 16, radius: int = _SIMHASH_RADIUS) -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, v -> (v >> {bit}) & 1 = 1)) > len(hs) "
+        f"THEN {1 << bit} ELSE 0 END)"
+        for bit in range(num_bits)
+    )
+    # brute-force all-pairs oracle: fine at sf0.01, and deliberately NOT the
+    # engine's blocked plan — the comparison proves the blocking is lossless
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         list_transform(w, t -> ('0x' || substr(md5(t),1,15))::BIGINT) AS hs
+  FROM toks
+), s AS (
+  SELECT doc_id, ({bit_terms})::BIGINT AS simhash FROM h
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius}
+"""
+
+
+SQL_SIMHASH_PAIRS = _sql_simhash_pairs()
+
+
 def _sql_plane_literal(p: list[float]) -> str:
     return "[" + ", ".join(repr(float(x)) for x in p) + "]"
 
@@ -746,6 +794,68 @@ WHERE rank <= 5 AND query_id <> vec_id
 
 
 SQL_ANN_LSH = _sql_ann_lsh()
+
+
+_ANN_PROBES = 3
+
+
+def q_ann_multiprobe(spark, sf_dir):
+    """Multi-probe ANN: searches the query's own bucket plus the probes-1
+    buckets reached by flipping the lowest-|margin| signature bit — recall
+    climbs toward brute force without shrinking bucket granularity."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.cosine_topk_lsh(
+        e, queries, dim=_EMB_DIM, k=5, bits=_NEARDUP_BITS, probes=_ANN_PROBES
+    ).where(F.col("query_id") != F.col("vec_id"))
+
+
+def _sql_ann_multiprobe() -> str:
+    from refined_spark.operators.ann import hyperplanes
+
+    planes = hyperplanes(_EMB_DIM, _NEARDUP_BITS)
+    bucket = _sql_lsh_bucket(planes, "embedding")
+    margin_structs = ", ".join(
+        "struct_pack(m := abs(list_dot_product(embedding::DOUBLE[], "
+        f"{_sql_plane_literal(p)})), i := {i})"
+        for i, p in enumerate(planes)
+    )
+    probe_flips = ", ".join(
+        f"xor(sig, (1::BIGINT << margins[{j}].i))"
+        for j in range(1, _ANN_PROBES)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+), q0 AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, {bucket} AS sig,
+         list_sort([{margin_structs}]) AS margins
+  FROM embeddings WHERE vec_id < 20
+), qb AS (
+  SELECT query_id, q_emb,
+         unnest([sig, {probe_flips}]) AS bucket
+  FROM q0
+), scored AS (
+  SELECT qb.query_id, v.vec_id,
+         round(
+           list_dot_product(qb.q_emb::DOUBLE[], v.embedding::DOUBLE[]) /
+           (sqrt(list_dot_product(qb.q_emb::DOUBLE[], qb.q_emb::DOUBLE[])) *
+            sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))),
+           6) AS cos
+  FROM v JOIN qb USING (bucket)
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos, rank FROM ranked
+WHERE rank <= 5 AND query_id <> vec_id
+"""
+
+
+SQL_ANN_MULTIPROBE = _sql_ann_multiprobe()
 
 
 # -------------------------------------------------- sequence / interval / date
@@ -1451,8 +1561,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "denylist_filter": q_denylist_filter,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh": q_ann_lsh,
+    "ann_multiprobe": q_ann_multiprobe,
     "bio_decode": q_bio_decode,
     "span_overlap_merge": q_span_overlap_merge,
     "date_resolution": q_date_resolution,
@@ -1489,8 +1601,10 @@ ORACLES: dict[str, str] = {
     "denylist_filter": SQL_DENYLIST,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "simhash": SQL_SIMHASH,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "ann_lsh": SQL_ANN_LSH,
+    "ann_multiprobe": SQL_ANN_MULTIPROBE,
     "bio_decode": SQL_BIO_DECODE,
     "span_overlap_merge": SQL_SPAN_OVERLAP,
     "date_resolution": SQL_DATE_RESOLUTION,

@@ -80,6 +80,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's empty-relation propagation replaces a subtree with an empty
+        # LocalTableScan once a stage observes 0 rows — eliminating any
+        # CollectMetrics (df.observe) node in that subtree, after which
+        # Observation.get returns a schemaless row and pyspark's toPyRow
+        # asserts. This engine uses Observations for lineage telemetry (A9)
+        # and no-silent-caps reporting (LSH bucket cap), and the metric
+        # matters MOST exactly when the output collapses to empty (all
+        # buckets dropped), so the rule is excluded. Cost ~0: the rule only
+        # short-circuits queries whose intermediate result is already empty.
+        .config(
+            "spark.sql.adaptive.optimizer.excludedRules",
+            "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
