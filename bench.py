@@ -129,12 +129,28 @@ def main_bench() -> None:
     spark = get_spark(app_name="refined_spark_bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # two passes over the query list, per-query MIN: pass 1 doubles as the
+    # codegen/JIT warm-up (cold first executions run 4-10x steady state on
+    # this VM), pass 2 is the warm sample — and the min also discards the
+    # multi-second host-noise bursts this shared VM throws at random (a
+    # single contaminated pass inflated one measured query 6->97s). Each
+    # measurement additionally waits for the instantaneous machine busy
+    # fraction to drop (we are idle between queries, so busy == other
+    # tenants), same gate as the scaling runs.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = Q.QUERIES[name]
-        t0 = time.time()
-        materialize(fn(spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+    all_samples: dict[str, list[float]] = {}
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn = Q.QUERIES[name]
+            for _ in range(30):
+                if _busy_frac() <= MAX_BENCH_BUSY:
+                    break
+                time.sleep(4)
+            t0 = time.time()
+            materialize(fn(spark, SF_DIR))
+            dt = round(time.time() - t0, 3)
+            all_samples.setdefault(name, []).append(dt)
+            timings[name] = min(timings.get(name, dt), dt)
 
     corpus = ensure_er_corpus()
     # three uncounted warm-ups: run 1 pays one-time whole-stage-codegen
@@ -145,7 +161,13 @@ def main_bench() -> None:
     # over a 100 TB run. Min of 2 measured runs guards against host bursts.
     for _ in range(3):
         run_er_pipeline(spark, corpus)
-    samples = [run_er_pipeline(spark, corpus) for _ in range(2)]
+    samples = []
+    for _ in range(2):
+        for _ in range(30):
+            if _busy_frac() <= MAX_BENCH_BUSY:
+                break
+            time.sleep(4)
+        samples.append(run_er_pipeline(spark, corpus))
     er_sec, n_docs = min(samples)
     timings["er_pipeline"] = round(er_sec, 3)
 
@@ -160,6 +182,9 @@ def main_bench() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "er_docs_per_sec": round(n_docs / er_sec, 1),
+                "samples": all_samples,
+                "er_samples": [round(s, 3) for s, _ in samples],
+                "loadavg_end": round(os.getloadavg()[0], 2),
             }
         )
     )
