@@ -82,9 +82,9 @@ def mention_window_embeddings(
     window text JVM-side, hash each window — spans.mention_window_texts +
     doc_embed_udf) re-hashes every span ~|window|/|span-gap| times
     (profiled at ~5x the token work, the single largest cost in the
-    pipeline). Here a mapInPandas kernel hashes all spans of an Arrow
-    batch in one scatter-add (hash_embed_batch, unnormalized), builds an
-    offset-sorted prefix-sum matrix per doc, and reads every window off
+    pipeline). Here a mapInArrow kernel hashes all spans of an Arrow
+    batch in one scatter-add (hash_embed_batch, unnormalized), builds one
+    batch-wide offset-sorted prefix-sum matrix, and reads every window off
     as pre[hi] - pre[lo] with two searchsorted calls. Bit-exact with the
     hash-the-window-text plan AND the oracle: pre-norm elements are sums
     of ±1/±0.5 token contributions (multiples of 0.5 — exactly
@@ -92,61 +92,114 @@ def mention_window_embeddings(
     and the final norm is the same np.linalg.norm over an exact vector.
     Scale shape: one narrow scan of (doc_id, spans), zero joins, zero
     shuffles — output partitioning inherits the scan."""
-    from pyspark.sql.types import StringType, StructField, StructType
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     from refined_spark.config import CTX_WINDOW
 
     kk = k if k is not None else CTX_WINDOW
-    schema = StructType(
+    out_schema = pa.schema(
         [
-            StructField("doc_id", StringType()),
-            StructField("mention_id", StringType()),
-            StructField("ctx_emb", ArrayType(DoubleType())),
+            ("doc_id", pa.string()),
+            ("mention_id", pa.string()),
+            ("ctx_emb", pa.list_(pa.float64())),
         ]
     )
+    # doc-major composite sort/search key: (doc_index << 40) + offset. Doc
+    # character offsets are far below 2^40 and doc_index is a within-batch
+    # row number, so the key is collision-free and window queries clamped to
+    # [doc_base, doc_base + offset ± k] can never cross a document boundary.
+    _SHIFT = np.int64(1) << 40
 
     def kernel(batches):
-        for pdf in batches:
-            doc_ids = pdf["doc_id"].tolist()
-            offs_per_doc: list[np.ndarray] = []
-            all_texts: list[str] = []
-            for spans in pdf["spans"]:
-                tx = [
-                    (s["offset"], s["text"])
-                    for s in spans
-                    if s["kind"] == "text" and s["text"]
-                ]
-                tx.sort(key=lambda p: p[0])
-                offs_per_doc.append(
-                    np.fromiter((o for o, _ in tx), dtype=np.int64, count=len(tx))
-                )
-                all_texts.extend(t for _, t in tx)
-            mat = hash_embed_batch(all_texts, normalize=False)
+        # Arrow-native end-to-end (mapInArrow): the nested spans column is
+        # flattened with Arrow buffer arithmetic — never materialized as
+        # per-row Python dicts — and the output embeddings leave as ONE flat
+        # float64 buffer wrapped in a ListArray. The mapInPandas version of
+        # this kernel spent most of its time creating Python objects
+        # (spans as dict lists in, win.tolist() floats out: ~280M PyFloats
+        # per corpus pass at bench scale), which also triggered the 32-worker
+        # allocator/TLB pathology this sandbox documents in BENCH.md.
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            spans = tbl.column("spans").combine_chunks()
+            n_docs = len(spans)
+            if n_docs == 0:
+                continue
+            # list offsets are ABSOLUTE positions into spans.values (they are
+            # not rebased for sliced arrays) — so all per-span work below uses
+            # absolute indices into `vals`, never flatten()'s rebased copy
+            list_offs = spans.offsets.to_numpy().astype(np.int64)
+            base, end = int(list_offs[0]), int(list_offs[-1])
+            if end == base:
+                continue
+            vals = spans.values
+            sizes = np.diff(list_offs)
+            doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), sizes)
+            kind = vals.field("kind")
+            text = vals.field("text")
+            offset = vals.field("offset")
+            keep = pc.fill_null(
+                pc.and_kleene(
+                    pc.equal(kind, "text"),
+                    pc.and_kleene(
+                        pc.is_valid(text), pc.greater(pc.utf8_length(text), 0)
+                    ),
+                ),
+                False,
+            ).to_numpy(zero_copy_only=False).astype(bool)
+            rel = np.nonzero(keep[base:end])[0]
+            if rel.size == 0:
+                continue
+            sel = rel + base
+            off_np = (
+                offset.to_numpy(zero_copy_only=False).astype(np.int64)[sel]
+            )
+            d_np = doc_idx[rel]
+            # doc-major, offset-ascending order (the old per-doc sort)
+            order = np.lexsort((off_np, d_np))
+            sel = sel[order]
+            off_np = off_np[order]
+            d_np = d_np[order]
+            sel_pa = pa.array(sel)
+            texts = pc.take(text, sel_pa).to_pylist()  # tokens need Python
+            mat = hash_embed_batch(texts, normalize=False)
             dim = mat.shape[1]
-            out_doc: list[str] = []
-            out_mid: list[str] = []
-            out_emb: list[list[float]] = []
-            pos = 0
-            zero = np.zeros((1, dim), dtype=np.float64)
-            for doc_id, offs in zip(doc_ids, offs_per_doc):
-                m = len(offs)
-                if not m:
-                    continue
-                pre = np.vstack([zero, np.cumsum(mat[pos : pos + m], axis=0)])
-                pos += m
-                lo = np.searchsorted(offs, offs - kk, side="left")
-                hi = np.searchsorted(offs, offs + kk, side="right")
-                win = pre[hi] - pre[lo]
-                norms = np.linalg.norm(win, axis=1, keepdims=True)
-                np.divide(win, norms, out=win, where=norms > 0)
-                out_doc.extend([doc_id] * m)
-                out_mid.extend(f"{doc_id}#{o}" for o in offs)
-                out_emb.extend(win.tolist())
-            yield pd.DataFrame(
-                {"doc_id": out_doc, "mention_id": out_mid, "ctx_emb": out_emb}
+            m = len(sel)
+            # ONE global prefix sum; per-doc windows come out as pre[hi] -
+            # pre[lo] with lo/hi from searchsorted on the composite key.
+            # Every element is a multiple of 0.5 (exactly representable), so
+            # the cross-doc cumsum + difference is bit-exact with the old
+            # per-doc cumsum and with the oracle's window sums.
+            pre = np.empty((m + 1, dim), dtype=np.float64)
+            pre[0] = 0.0
+            np.cumsum(mat, axis=0, out=pre[1:])
+            combo = d_np * _SHIFT + off_np
+            lo = np.searchsorted(combo, d_np * _SHIFT + np.maximum(off_np - kk, 0),
+                                 side="left")
+            hi = np.searchsorted(combo, d_np * _SHIFT + off_np + kk, side="right")
+            win = pre[hi]
+            win -= pre[lo]
+            norms = np.linalg.norm(win, axis=1, keepdims=True)
+            np.divide(win, norms, out=win, where=norms > 0)
+
+            doc_ids = tbl.column("doc_id").combine_chunks()
+            d_pa = pa.array(d_np)
+            out_doc = pc.take(doc_ids, d_pa)
+            out_mid = pc.binary_join_element_wise(
+                out_doc, pc.cast(pa.array(off_np), pa.string()), "#"
+            )
+            emb = pa.ListArray.from_arrays(
+                pa.array(np.arange(m + 1, dtype=np.int64) * dim, pa.int32()),
+                pa.array(win.reshape(-1)),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [out_doc, out_mid, emb], schema=out_schema
             )
 
-    return documents.select("doc_id", "spans").mapInPandas(kernel, schema)
+    return documents.select("doc_id", "spans").mapInArrow(
+        kernel, "doc_id string, mention_id string, ctx_emb array<double>"
+    )
 
 
 def score_candidates(
