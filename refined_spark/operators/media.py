@@ -45,21 +45,50 @@ DECODED_SCHEMA = StructType(
 )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png_header(payload: bytes) -> tuple[int, int] | None:
+    """REAL (pure-Python, no external libs) PNG dimension decode: verify the
+    8-byte signature and that the first chunk is IHDR, then read width and
+    height as the two big-endian uint32s at bytes 16-24 (PNG spec — RFC
+    2083 §3.1/§4.1.1). Returns None for non-PNG payloads (the caller falls
+    back to the stub for formats whose codecs don't ship here)."""
+    import struct
+
+    if payload is None or len(payload) < 24:
+        return None
+    if payload[:8] != _PNG_MAGIC or payload[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack(">II", payload[16:24])
+    if width <= 0 or height <= 0:
+        return None
+    return width, height
+
+
 def _decode_stub(payload: bytes | None, media_ref: str) -> dict:
-    """Deterministic fake decode: dimensions and a FEATURE_DIM-float feature
-    vector derived from the payload/ref hash. Replace with a real codec
-    (PIL.Image.open etc.) in production — raise if someone ships the stub:
-    set REFINED_SPARK_ALLOW_MEDIA_STUB=0 to turn it into NotImplementedError."""
+    """Decode one media payload. PNG dimensions are decoded FOR REAL
+    (parse_png_header — pure-Python IHDR parse), so resize_plan downstream
+    computes from actual pixel dimensions. Everything else — non-PNG
+    formats, and the feature vector (a model's job, not a codec's) — is a
+    deterministic disclosed stand-in derived from the payload/ref hash.
+    Replace with PIL/ffmpeg calls in production — raise if someone ships
+    the stub path: set REFINED_SPARK_ALLOW_MEDIA_STUB=0 to turn the
+    non-PNG fallback into NotImplementedError (PNG decode still works: it
+    is real)."""
     import os
 
-    if os.environ.get("REFINED_SPARK_ALLOW_MEDIA_STUB", "1") != "1":
-        raise NotImplementedError("real media decoding requires PIL/ffmpeg")
     h = (
         hashlib.md5(((media_ref or "") + "|").encode("utf-8")).digest()
         if payload is None
         else hashlib.md5(payload).digest()
     )
     feats = [((h[i % 16] / 255.0) * 2 - 1) for i in range(FEATURE_DIM)]
+    png = parse_png_header(payload) if payload is not None else None
+    if png is not None:
+        return {"width": png[0], "height": png[1], "features": feats}
+    if os.environ.get("REFINED_SPARK_ALLOW_MEDIA_STUB", "1") != "1":
+        raise NotImplementedError("non-PNG media decoding requires PIL/ffmpeg")
     return {
         "width": 64 + h[0] % 192,
         "height": 64 + h[1] % 192,

@@ -189,13 +189,24 @@ def mention_window_embeddings(
             out_mid = pc.binary_join_element_wise(
                 out_doc, pc.cast(pa.array(off_np), pa.string()), "#"
             )
-            emb = pa.ListArray.from_arrays(
-                pa.array(np.arange(m + 1, dtype=np.int64) * dim, pa.int32()),
-                pa.array(win.reshape(-1)),
-            )
-            yield pa.RecordBatch.from_arrays(
-                [out_doc, out_mid, emb], schema=out_schema
-            )
+            # ListArray carries int32 offsets, so one output batch can hold
+            # at most 2^31 flat floats — emit in row slices under that
+            # ceiling instead of failing on pyarrow's unsafe-cast check for
+            # a huge input batch (one slice in practice; the loop only
+            # splits when kept-span count x dim crosses 2^31)
+            rows_cap = max(1, ((1 << 31) - 8) // dim)
+            for s0 in range(0, m, rows_cap):
+                s1 = min(s0 + rows_cap, m)
+                emb = pa.ListArray.from_arrays(
+                    pa.array(np.arange(s1 - s0 + 1, dtype=np.int64) * dim,
+                             pa.int32()),
+                    pa.array(win[s0:s1].reshape(-1)),
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [out_doc.slice(s0, s1 - s0), out_mid.slice(s0, s1 - s0),
+                     emb],
+                    schema=out_schema,
+                )
 
     return documents.select("doc_id", "spans").mapInArrow(
         kernel, "doc_id string, mention_id string, ctx_emb array<double>"

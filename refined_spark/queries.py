@@ -624,21 +624,34 @@ WHERE a.doc_id < b.doc_id
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash document fingerprints (per-bit majority vote, JVM-side)."""
+    """SimHash document fingerprints at the full 64-bit width (single-pass
+    majority vote, JVM-side — see dedup.simhash_col for why 16-bit hashes
+    stop discriminating past ~10^6 docs)."""
     d = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
     return d.select(
-        "doc_id", dedup.simhash_col(F.col("text"), num_bits=16).alias("simhash")
+        "doc_id", dedup.simhash_col(F.col("text"), num_bits=64).alias("simhash")
     )
 
 
-def _sql_simhash(num_bits: int = 16) -> str:
-    bit_terms = " + ".join(
-        f"(CASE WHEN 2 * len(list_filter(hs, v -> (v >> {bit}) & 1 = 1)) > len(hs) "
-        f"THEN {1 << bit} ELSE 0 END)"
-        for bit in range(num_bits)
-    )
+def _sql_simhash_terms(num_bits: int) -> str:
+    """Per-bit majority-vote terms over hs1 (md5 hex 1-15, bits 0-59) and
+    hs2 (hex char 16, bits 60-63). Bit 63 is the BIGINT sign bit: its term
+    adds -2^63, which in two's complement IS setting bit 63 (all other
+    terms sum below 2^63, so no intermediate overflow)."""
+    terms = []
+    for bit in range(num_bits):
+        col, sh = ("hs1", bit) if bit < 60 else ("hs2", bit - 60)
+        p = (1 << bit) if bit < 63 else -(1 << 63)
+        terms.append(
+            f"(CASE WHEN 2 * len(list_filter({col}, v -> (v >> {sh}) & 1 = 1)) "
+            f"> len({col}) THEN {p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _sql_simhash(num_bits: int = 64) -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id,
@@ -646,14 +659,15 @@ WITH toks AS (
   FROM documents
 ), h AS (
   SELECT doc_id,
-         list_transform(w, t -> ('0x' || substr(md5(t),1,15))::BIGINT) AS hs
+         list_transform(w, t -> ('0x' || substr(md5(t),1,15))::BIGINT) AS hs1,
+         list_transform(w, t -> ('0x' || substr(md5(t),16,1))::BIGINT) AS hs2
   FROM toks
 )
-SELECT doc_id, ({bit_terms})::BIGINT AS simhash FROM h
+SELECT doc_id, ({_sql_simhash_terms(num_bits)})::BIGINT AS simhash FROM h
 """
 
 
-SQL_SIMHASH = _sql_simhash(16)
+SQL_SIMHASH = _sql_simhash(64)
 
 
 _SIMHASH_RADIUS = 3
@@ -662,24 +676,20 @@ _SIMHASH_RADIUS = 3
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs within hamming radius > 0 — exact pigeonhole
     block blocking (radius+1 blocks; any pair within the radius shares one
-    whole block) + bit_count(xor) verify. The brute-force DuckDB oracle
-    checks recall is exactly 1."""
+    whole block) + bit_count(xor) verify, at the canonical 64-bit / radius-3
+    web-dedup parameters. The brute-force DuckDB oracle checks recall is
+    exactly 1."""
     d = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return dedup.simhash_pairs(d, num_bits=16, radius=_SIMHASH_RADIUS).select(
+    return dedup.simhash_pairs(d, num_bits=64, radius=_SIMHASH_RADIUS).select(
         F.col("doc_a").cast("long").alias("doc_a"),
         F.col("doc_b").cast("long").alias("doc_b"),
         "hamming",
     )
 
 
-def _sql_simhash_pairs(num_bits: int = 16, radius: int = _SIMHASH_RADIUS) -> str:
-    bit_terms = " + ".join(
-        f"(CASE WHEN 2 * len(list_filter(hs, v -> (v >> {bit}) & 1 = 1)) > len(hs) "
-        f"THEN {1 << bit} ELSE 0 END)"
-        for bit in range(num_bits)
-    )
+def _sql_simhash_pairs(num_bits: int = 64, radius: int = _SIMHASH_RADIUS) -> str:
     # brute-force all-pairs oracle: fine at sf0.01, and deliberately NOT the
     # engine's blocked plan — the comparison proves the blocking is lossless
     return f"""
@@ -689,10 +699,11 @@ WITH toks AS (
   FROM documents
 ), h AS (
   SELECT doc_id,
-         list_transform(w, t -> ('0x' || substr(md5(t),1,15))::BIGINT) AS hs
+         list_transform(w, t -> ('0x' || substr(md5(t),1,15))::BIGINT) AS hs1,
+         list_transform(w, t -> ('0x' || substr(md5(t),16,1))::BIGINT) AS hs2
   FROM toks
 ), s AS (
-  SELECT doc_id, ({bit_terms})::BIGINT AS simhash FROM h
+  SELECT doc_id, ({_sql_simhash_terms(num_bits)})::BIGINT AS simhash FROM h
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash))::INT AS hamming
@@ -751,6 +762,59 @@ SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.9
 
 
 SQL_EMBEDDING_NEARDUP = _sql_embedding_neardup()
+
+
+_NEARDUP_ROTATIONS = 3
+
+
+def q_embedding_neardup_multirot(spark, sf_dir):
+    """Embedding near-dup with multi-rotation blocking: pairs are the union
+    over 3 independent hyperplane sets, so a near-dup straddling one
+    rotation's bucket boundary is still caught — the recall-at-scale path
+    on top of q_embedding_neardup's single-rotation trade."""
+    e = _t(spark, sf_dir, "embeddings")
+    return ann.embedding_near_dups(
+        e, dim=_EMB_DIM, threshold=0.9, bits=_NEARDUP_BITS,
+        rotations=_NEARDUP_ROTATIONS,
+    )
+
+
+def _sql_embedding_neardup_multirot() -> str:
+    from refined_spark.operators.ann import rotation_planes
+
+    rb = ", ".join(
+        "struct_pack(rot := {r}, b := {b})".format(
+            r=r,
+            b=_sql_lsh_bucket(
+                rotation_planes(_EMB_DIM, _NEARDUP_BITS, r), "embedding"
+            ),
+        )
+        for r in range(_NEARDUP_ROTATIONS)
+    )
+    return f"""
+WITH vb AS (
+  SELECT vec_id, rb.rot AS rot, rb.b AS bucket
+  FROM (SELECT vec_id, unnest([{rb}]) AS rb FROM embeddings)
+), p AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM vb a JOIN vb b USING (rot, bucket)
+  WHERE a.vec_id < b.vec_id
+), scored AS (
+  SELECT p.id_a, p.id_b,
+         round(
+           list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+           (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+            sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))),
+           6) AS cos
+  FROM p
+  JOIN embeddings ea ON ea.vec_id = p.id_a
+  JOIN embeddings eb ON eb.vec_id = p.id_b
+)
+SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.9
+"""
+
+
+SQL_EMBEDDING_NEARDUP_MULTIROT = _sql_embedding_neardup_multirot()
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -817,9 +881,12 @@ def _sql_ann_multiprobe() -> str:
 
     planes = hyperplanes(_EMB_DIM, _NEARDUP_BITS)
     bucket = _sql_lsh_bucket(planes, "embedding")
+    # round(..., 6) mirrors the engine (ann.lsh_probe_buckets_col): without
+    # it a float near-tie between two plane margins can order the probe
+    # flips differently in the two engines and flake the gate
     margin_structs = ", ".join(
-        "struct_pack(m := abs(list_dot_product(embedding::DOUBLE[], "
-        f"{_sql_plane_literal(p)})), i := {i})"
+        "struct_pack(m := round(abs(list_dot_product(embedding::DOUBLE[], "
+        f"{_sql_plane_literal(p)})), 6), i := {i})"
         for i, p in enumerate(planes)
     )
     probe_flips = ", ".join(
@@ -1441,19 +1508,22 @@ def q_span_correction(spark, sf_dir):
     w = [F.substring(h, 1 + 6 * i, 6) for i in range(6)]
     NL, Q = F.lit("\n"), F.lit('"')
 
-    def mk(start, text):
-        return d.select(
-            "doc_id", F.lit(start).cast("long").alias("start"),
-            F.length(text).cast("long").alias("ln"), text.alias("text"),
-        )
-
-    spans = (
-        mk(10, F.concat(Q, w[0]))                       # unbalanced lead quote
-        .unionByName(mk(50, F.concat(NL, w[1], NL)))    # strip newlines
-        .unionByName(mk(5, F.lit("the")))               # dropped
-        .unionByName(mk(7, F.lit("x")))                 # len-1 dropped
-        .unionByName(mk(0, F.concat(w[2], NL, NL, w[3])))  # split in two
-        .unionByName(mk(80, F.concat(w[4], Q)))         # unbalanced trail quote
+    # all six synthetic span families from ONE scan of documents: an array
+    # of (start, text) cases exploded per doc (the old plan unioned six
+    # copies of the same scan — 6x the IO for fixture construction)
+    cases = F.array(
+        F.struct(F.lit(10).alias("start"), F.concat(Q, w[0]).alias("text")),          # unbalanced lead quote
+        F.struct(F.lit(50).alias("start"), F.concat(NL, w[1], NL).alias("text")),     # strip newlines
+        F.struct(F.lit(5).alias("start"), F.lit("the").alias("text")),                # dropped
+        F.struct(F.lit(7).alias("start"), F.lit("x").alias("text")),                  # len-1 dropped
+        F.struct(F.lit(0).alias("start"), F.concat(w[2], NL, NL, w[3]).alias("text")),  # split in two
+        F.struct(F.lit(80).alias("start"), F.concat(w[4], Q).alias("text")),          # unbalanced trail quote
+    )
+    spans = d.select("doc_id", F.explode(cases).alias("c")).select(
+        "doc_id",
+        F.col("c.start").cast("long").alias("start"),
+        F.length("c.text").cast("long").alias("ln"),
+        F.col("c.text").alias("text"),
     )
     return correct_spans(spans)
 
@@ -1563,6 +1633,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_multirot": q_embedding_neardup_multirot,
     "ann_lsh": q_ann_lsh,
     "ann_multiprobe": q_ann_multiprobe,
     "bio_decode": q_bio_decode,
@@ -1603,6 +1674,7 @@ ORACLES: dict[str, str] = {
     "simhash": SQL_SIMHASH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "embedding_neardup_multirot": SQL_EMBEDDING_NEARDUP_MULTIROT,
     "ann_lsh": SQL_ANN_LSH,
     "ann_multiprobe": SQL_ANN_MULTIPROBE,
     "bio_decode": SQL_BIO_DECODE,

@@ -125,3 +125,53 @@ def test_embedding_near_dups(spark):
     )
     got = embedding_near_dups(df, dim=16, threshold=0.95, bits=2).collect()
     assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
+
+
+def test_embedding_near_dups_multirotation_recall(spark):
+    """Recall on planted near-dup pairs: single-rotation blocking misses the
+    pairs that straddle rotation-0's bucket boundary; rotations=3 must (a)
+    return a SUPERSET of the single-rotation pairs and (b) recover at least
+    one planted pair that rotation 0 split across buckets (pre-verified
+    numerically with the same deterministic plane sets)."""
+    from refined_spark.operators.ann import embedding_near_dups, rotation_planes
+
+    dim, bits, thr = 16, 4, 0.95
+    rng = np.random.RandomState(11)
+    vecs, pairs = [], []
+    for i in range(60):
+        v = rng.randn(dim)
+        w = v + 0.05 * rng.randn(dim)  # planted near-dup of v
+        vecs += [v, w]
+        pairs.append((2 * i, 2 * i + 1))
+    planes = [np.array(rotation_planes(dim, bits, r)) for r in range(3)]
+    sig = lambda v, r: tuple((planes[r] @ v) > 0)
+    cos = lambda a, b: float(
+        np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    )
+    straddlers = [
+        (a, b)
+        for a, b in pairs
+        if cos(vecs[a], vecs[b]) >= thr + 1e-4
+        and sig(vecs[a], 0) != sig(vecs[b], 0)
+        and any(sig(vecs[a], r) == sig(vecs[b], r) for r in (1, 2))
+    ]
+    assert straddlers, "fixture must plant at least one boundary-straddling pair"
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    one = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups(df, dim=dim, threshold=thr, bits=bits).collect()
+    }
+    multi = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups(
+            df, dim=dim, threshold=thr, bits=bits, rotations=3
+        ).collect()
+    }
+    assert one <= multi
+    for a, b in straddlers:
+        assert (a, b) not in one
+        assert (a, b) in multi

@@ -77,13 +77,54 @@ def test_simhash_identical_docs_bucket(spark):
 
 
 def test_simhash_matches_python_kernel(spark):
+    """The JVM single-pass plan is bit-exact with the pure-Python reference
+    kernel at BOTH widths (16-bit low-bits subset and the full signed
+    64-bit value, including the bit-63 sign handling)."""
     from refined_spark.functions.hashing import simhash64_py
-    from refined_spark.operators.dedup import normalized_text_col, simhash_col
+    from refined_spark.operators.dedup import simhash_col
 
-    d = _docs(spark, [("a", BASE)])
-    got = d.select(simhash_col(F.col("text"), num_bits=16).alias("h")).collect()[0].h
-    expected = simhash64_py(BASE.split()) & ((1 << 16) - 1)
-    assert got == expected
+    rows = [("a", BASE), ("b", NEAR), ("c", OTHER),
+            ("d", "Zz " * 40 + "qq")]  # repeated tokens: vote magnitudes > 1
+    d = _docs(spark, rows)
+    got = {
+        r.doc_id: (r.h16, r.h64)
+        for r in d.select(
+            "doc_id",
+            simhash_col(F.col("text"), num_bits=16).alias("h16"),
+            simhash_col(F.col("text"), num_bits=64).alias("h64"),
+        ).collect()
+    }
+    for doc_id, text in rows:
+        toks = " ".join(text.lower().split()).split(" ")
+        full = simhash64_py(toks)
+        assert got[doc_id][1] == full
+        assert got[doc_id][0] == full & ((1 << 16) - 1)
+
+
+def test_simhash_64bit_resolves_16bit_collisions(spark):
+    """At web scale a 16-bit simhash space (65,536 buckets) is
+    collision-dominated: 100k distinct synthetic docs MUST collide
+    (pigeonhole), turning 'same hash' into noise. The 64-bit default keeps
+    every distinct doc distinct at the same corpus size — the reason
+    num_bits=64 is the default for simhash_near_dups/simhash_pairs."""
+    from refined_spark.operators.dedup import simhash_col
+
+    n = 100_000
+    # deterministic diverse docs: 8 md5-derived pseudo-words per doc
+    tok = lambda j: F.substring(F.md5(F.concat_ws("_", F.col("id").cast("string"), F.lit(str(j)))), 1, 10)
+    d = spark.range(n).select(
+        F.concat_ws(" ", *[tok(j) for j in range(8)]).alias("text")
+    )
+    agg = d.select(
+        simhash_col(F.col("text"), num_bits=16).alias("h16"),
+        simhash_col(F.col("text"), num_bits=64).alias("h64"),
+    ).agg(
+        F.countDistinct("h16").alias("d16"),
+        F.countDistinct("h64").alias("d64"),
+    ).collect()[0]
+    assert agg.d16 <= 1 << 16  # pigeonhole: massively collided
+    assert agg.d16 < n
+    assert agg.d64 == n  # 2^64 space: zero collisions among 10^5 docs
 
 
 def test_ngram_jaccard_pairs(spark):

@@ -46,3 +46,39 @@ def test_stub_gate(spark, tables, monkeypatch):
     monkeypatch.setenv("REFINED_SPARK_ALLOW_MEDIA_STUB", "0")
     with pytest.raises(NotImplementedError):
         _decode_stub(b"bytes", "img://x")
+
+
+def test_png_real_decode(spark, monkeypatch):
+    """PNG payloads are decoded FOR REAL (IHDR parse), end-to-end through
+    the Spark decode UDF and resize_plan — even with the stub disabled —
+    against checked-in PNG files of known dimensions."""
+    import os
+
+    from refined_spark.operators.media import (
+        decode_media,
+        parse_png_header,
+        resize_plan,
+    )
+
+    data = os.path.join(os.path.dirname(__file__), "data")
+    px1 = open(os.path.join(data, "one_pixel.png"), "rb").read()
+    px32 = open(os.path.join(data, "three_by_two.png"), "rb").read()
+    assert parse_png_header(px1) == (1, 1)
+    assert parse_png_header(px32) == (3, 2)
+    assert parse_png_header(b"not a png at all, definitely") is None
+
+    monkeypatch.setenv("REFINED_SPARK_ALLOW_MEDIA_STUB", "0")  # PNG path is real
+    media = spark.createDataFrame(
+        [("d1", "img://one", "image", bytearray(px1), None),
+         ("d2", "img://three", "image", bytearray(px32), None)],
+        "doc_id string, media_ref string, media_type string, payload binary, "
+        "meta struct<width:int, height:int, duration_ms:int>",
+    )
+    rows = {r.media_ref: r for r in decode_media(media).collect()}
+    assert (rows["img://one"].width, rows["img://one"].height) == (1, 1)
+    assert (rows["img://three"].width, rows["img://three"].height) == (3, 2)
+    plan = {r.media_ref: r for r in
+            resize_plan(decode_media(media), max_side=2).collect()}
+    # 3x2 scales by 2/3; 1x1 is already under the cap
+    assert plan["img://one"].scale == 1.0
+    assert (plan["img://three"].out_width, plan["img://three"].out_height) == (2, 2)
