@@ -46,4 +46,8 @@ for _ in range(rounds):
 samples["min_fused"] = min(samples["fused"])
 samples["min_rowjoin"] = min(samples["rowjoin"])
 print(json.dumps(samples))
+# persist for BENCH.md (bench._write_bench_md includes this table)
+with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "ab_fused_result.json"), "w") as f:
+    json.dump(samples, f)
 spark.stop()

@@ -198,6 +198,59 @@ def connected_components(
     return comp.unionByName(roots)
 
 
+def cluster_assignments_sharded(
+    resolved: DataFrame,
+    shard_col: str = "shard",
+    max_parallel: int = 8,
+    shards: list | None = None,
+) -> DataFrame:
+    """cluster_assignments over a corpus whose edge space is PARTITIONED by
+    a shard key — clusters never cross shards BY CONTRACT (the caller
+    guarantees it: e.g. per-tenant corpora, per-snapshot increments, or
+    mention/entity ids suffixed with the shard). Runs one independent CC
+    job per shard CONCURRENTLY from a thread pool and unions the results.
+
+    Why this exists (scale): the CC driver loop is the pipeline's only
+    serial fraction — per-round job-submission barriers and the
+    convergence test cost the same at N and 4N executors, so they cap
+    N -> 4N scaling (Amdahl). With s independent shards the loops overlap:
+    while shard A sits in a barrier the executors run shard B's stages,
+    and the non-scaling fraction drops ~1/s. This is exactly how a 100 TB
+    run should be driven when the edge space is naturally partitioned
+    (per-source, per-snapshot): concurrent Spark jobs from one driver are
+    the documented Spark idiom for overlapping independent work
+    (job scheduling docs; scheduler handles the interleave).
+
+    `shards`: pass the shard values when the caller knows them (a 100 TB
+    driver reads them from the table's partition metadata — no job);
+    otherwise ONE small distinct-collect derives them (acceptable at bench
+    scale, disclosed here).
+
+    Each per-shard frame filters on shard_col == value: over a
+    shard-partitioned source (partitionBy(shard) parquet/Iceberg) Catalyst
+    turns that into partition PRUNING, so s jobs do one corpus-total scan,
+    not s of them."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if shards is None:
+        shards = [
+            r[0] for r in resolved.select(shard_col).distinct().collect()
+        ]
+    if not shards:
+        return cluster_assignments(resolved.drop(shard_col))
+
+    def one(v):
+        part = resolved.where(F.col(shard_col) == F.lit(v)).drop(shard_col)
+        return cluster_assignments(part)
+
+    with ThreadPoolExecutor(max_workers=max(1, min(max_parallel, len(shards)))) as ex:
+        parts = list(ex.map(one, shards))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def cluster_assignments(resolved: DataFrame) -> DataFrame:
     """North-rule stage 6: mentions sharing a resolved entity become one
     cluster. Builds star edges mention<->entity-anchor in id space, runs CC,

@@ -69,3 +69,50 @@ def test_component_label_is_min_id(spark):
     df = spark.createDataFrame([(5, 9), (9, 3)], "src long, dst long")
     rows = connected_components(df).collect()
     assert {r.component for r in rows} == {3}
+
+
+def test_cluster_assignments_sharded_matches_global(spark):
+    """The concurrent per-shard CC driver is result-identical to one global
+    CC over the union, when the edge space is shard-disjoint by
+    construction (ids suffixed per shard — the bench amplification shape
+    and the per-tenant/per-snapshot 100 TB shape)."""
+    from pyspark.sql import functions as F
+
+    from refined_spark.operators.clustering import (
+        cluster_assignments,
+        cluster_assignments_sharded,
+    )
+
+    base = [
+        ("m1", "Q1"), ("m2", "Q1"), ("m3", "Q2"), ("m4", None), ("m5", "Q2"),
+    ]
+    rows = [
+        (f"{m}#{s}", f"{q}#{s}" if q else None, s)
+        for s in range(4)
+        for m, q in base
+    ]
+    resolved = spark.createDataFrame(
+        rows, "mention_id string, qcode string, shard int"
+    )
+    got = {
+        r.mention_id: r.cluster_id
+        for r in cluster_assignments_sharded(
+            resolved, shard_col="shard", max_parallel=4
+        ).collect()
+    }
+    want = {
+        r.mention_id: r.cluster_id
+        for r in cluster_assignments(resolved.drop("shard")).collect()
+    }
+    assert got == want
+    # same-entity mentions co-cluster within a shard, never across shards
+    assert got["m1#0"] == got["m2#0"]
+    assert got["m1#0"] != got["m1#1"]
+    # explicit shard list (the no-distinct-job path) gives the same answer
+    got2 = {
+        r.mention_id: r.cluster_id
+        for r in cluster_assignments_sharded(
+            resolved, shard_col="shard", shards=[0, 1, 2, 3]
+        ).collect()
+    }
+    assert got2 == got
