@@ -496,7 +496,7 @@ def main_scaling() -> None:
     # prep runs in its own subprocess: a SparkSession created in THIS
     # process would leave its JVM alive (spark.stop() keeps the py4j
     # gateway) burning CPU next to every measurement that follows
-    prep = os.path.join(corpus, f"_stage_prep_a{CC_AMPLIFY}_v3")
+    prep = os.path.join(corpus, f"_stage_prep_a{CC_AMPLIFY}_v4")
     if not os.path.exists(os.path.join(prep, "_DONE")):
         import subprocess as _sp
 
