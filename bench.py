@@ -627,20 +627,29 @@ def _write_bench_md(results, eff, row, eff_str, GATE_PAIR, WIDE_PAIR) -> None:
             "",
             "Full er_pipeline, interleaved arms in ONE session (same JVM",
             "warmth), 1 warm-up per arm then alternating measured rounds at",
-            f"local[32] on the {ER_DOCS:,}-doc bench corpus; min over rounds",
-            "is the estimator, all samples shown:",
+            f"local[32] on the {ER_DOCS:,}-doc bench corpus; each sample",
+            "waits for the machine busy fraction to drop and is annotated",
+            "with the hypervisor steal it absorbed; min over rounds is the",
+            "estimator, all samples shown:",
             "",
-            "| arm | min s | samples | loadavg(1m) per round |",
+            "| arm | min s | samples | stolen vCPUs per sample |",
             "|---|---|---|---|",
             f"| fused cogrouped kernel | **{ab['min_fused']}** |"
-            f" {ab['fused']} | {ab['load']} |",
+            f" {ab['fused']} | {ab.get('fused_steal', 'n/a')} |",
             f"| row-join plan | {ab['min_rowjoin']} | {ab['rowjoin']} |"
-            " (same rounds) |",
+            f" {ab.get('rowjoin_steal', 'n/a')} |",
             "",
-            "The fused path wins and is the auto-selected default at",
-            "dictionary scale (scoring.fused_policy_ok); the row-join plan",
-            "remains the safe shape past the driver-collect budget and is",
-            "asserted row-for-row equal in tests/test_pipeline_e2e.py.",
+            ("The fused path wins on this measurement"
+             if ab["min_fused"] <= ab["min_rowjoin"]
+             else "On this measurement the two arms are within host noise"
+                  " of each other (the fused min trails the row-join min)")
+            + " and fused stays the auto-selected default at dictionary",
+            "scale (scoring.fused_policy_ok): it ships skinny Arrow rows",
+            "through one exchange where the row-join plan shuffles the full",
+            "candidate rows twice — the gap widens with corpus size. The",
+            "row-join plan remains the safe shape past the driver-collect",
+            "budget and is asserted row-for-row equal in",
+            "tests/test_pipeline_e2e.py.",
         ]
 
     lines = [

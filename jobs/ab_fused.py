@@ -12,7 +12,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import ensure_er_corpus, materialize, _unpersist_all
+from bench import (MAX_BENCH_BUSY, _busy_frac, _cpu_steal_seconds,
+                   _unpersist_all, ensure_er_corpus, materialize)
 from refined_spark.session import get_spark
 from refined_spark.plans import pipeline
 
@@ -23,7 +24,16 @@ spark.sparkContext.setLogLevel("ERROR")
 load = lambda k: spark.read.parquet(f"{corpus}/{k}.parquet")
 
 
-def run(fused: bool) -> float:
+def run(fused: bool) -> tuple[float, float]:
+    """Returns (seconds, stolen_vcpus). Waits for the instantaneous machine
+    busy fraction to drop first (same gate as bench.py — we are idle here,
+    so busy == host noise), and annotates each sample with the hypervisor
+    steal it absorbed so contaminated samples are identifiable."""
+    for _ in range(60):
+        if _busy_frac() <= MAX_BENCH_BUSY:
+            break
+        time.sleep(4)
+    st0 = _cpu_steal_seconds()
     t0 = time.time()
     out = pipeline.run(
         spark, load("documents"), load("pem"), load("entity_meta"),
@@ -33,16 +43,21 @@ def run(fused: bool) -> float:
     materialize(out)
     dt = time.time() - t0
     _unpersist_all(spark)
-    return round(dt, 2)
+    return round(dt, 2), round((_cpu_steal_seconds() - st0) / dt, 2)
 
 
-samples = {"fused": [], "rowjoin": [], "load": []}
+samples = {"fused": [], "rowjoin": [], "load": [],
+           "fused_steal": [], "rowjoin_steal": []}
 run(True)  # warm-up: codegen compile + C2 tiering
 run(False)
 for _ in range(rounds):
     samples["load"].append(round(os.getloadavg()[0], 2))
-    samples["fused"].append(run(True))
-    samples["rowjoin"].append(run(False))
+    f_dt, f_st = run(True)
+    r_dt, r_st = run(False)
+    samples["fused"].append(f_dt)
+    samples["rowjoin"].append(r_dt)
+    samples["fused_steal"].append(f_st)
+    samples["rowjoin_steal"].append(r_st)
 samples["min_fused"] = min(samples["fused"])
 samples["min_rowjoin"] = min(samples["rowjoin"])
 print(json.dumps(samples))
