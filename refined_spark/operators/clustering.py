@@ -259,7 +259,21 @@ def cluster_assignments(resolved: DataFrame) -> DataFrame:
     Note: with winner-entity edges only, CC is equivalent to groupBy(qcode)
     — we still run the general CC job because edges from near-dup /
     similarity evidence (dedup.py) can be unioned in, and because the judge
-    grades the scalable clustering path."""
+    grades the scalable clustering path.
+
+    check_every=1 here (the general default is 2): winner edges form
+    BIPARTITE STARS (every edge connects a mention node to its entity
+    anchor; mention nodes never share an edge), and one
+    large-star∘small-star round maps every node of such a component to
+    the component minimum — large-star links all larger-than-center
+    nodes to the center's minimum and small-star collapses the rest —
+    so round 1 always yields the depth-1 forest. Checking after every
+    round therefore costs nothing extra (there IS only one round) and
+    skips the second no-op round that check_every=2 would fuse in front
+    of the test: two shuffles saved per call, at every corpus size. The
+    convergence test still gates the result, so a caller that unions
+    non-star evidence edges into `resolved` upstream only loses the
+    batching, never correctness."""
     m = resolved.select(
         "mention_id", "qcode", F.xxhash64("mention_id").alias("mid")
     )
@@ -267,7 +281,7 @@ def cluster_assignments(resolved: DataFrame) -> DataFrame:
         "mention_id", "mid", F.xxhash64(F.lit("ENT:"), "qcode").alias("eid")
     )
     edges = anchors.select(F.col("mid").alias("src"), F.col("eid").alias("dst"))
-    comp = connected_components(edges, edges_unique=True)
+    comp = connected_components(edges, edges_unique=True, check_every=1)
     assigned = (
         m.join(comp, m["mid"] == comp["node"], "left")
         .select(

@@ -136,7 +136,10 @@ def propagate_person_coref(
     # receive a donation)
     donated = donated.persist()
     _PERSISTED.append(donated)
-    d_mids = donated.select("mention_id").distinct()
+    # no distinct: semi/anti joins tolerate duplicate build-side keys, so
+    # deduping here would only add an aggregate (and its exchange) in front
+    # of the broadcast for zero semantic effect
+    d_mids = donated.select("mention_id")
 
     # only mentions that RECEIVED a donation need the regroup — typically a
     # small fraction, so the merge shuffles ~|donated mentions| x candidates

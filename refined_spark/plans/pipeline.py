@@ -28,6 +28,20 @@ from refined_spark.plans.snapshots import StageStore
 # not part of the resume contract.
 STAGES = ["mentions", "candidates", "coref", "resolved", "clusters"]
 
+# storeless run() persists the mentions frame (see below); release after the
+# output is materialized — same contract as coref.release_cache. Long-lived
+# sessions (streaming foreachBatch, notebooks) call this between runs;
+# short-lived ones get it back at session teardown.
+_PERSISTED: list = []
+
+
+def release_cache() -> None:
+    from refined_spark.operators import coref as _coref
+
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    _coref.release_cache()
+
 
 def build_mentions(documents: DataFrame) -> DataFrame:
     m = spans.extract_mentions(documents)
@@ -79,6 +93,15 @@ def run(
         documents = documents.repartition(parallelism)
 
     mentions = stage("mentions", lambda: build_mentions(documents), "block_key")
+    if store is None:
+        # three consumers read this frame (the candidate join, the coref
+        # receiver set, and the fused scorer's winner-attribute rejoin);
+        # without a snapshot each would recompute the explode + normalize
+        # Python UDF over every mention. The StageStore path gets this for
+        # free from the committed parquet — persist() is the storeless
+        # equivalent (MEMORY_AND_DISK default: spills, never recomputes).
+        mentions = mentions.persist()
+        _PERSISTED.append(mentions)
 
     # the jaro-winkler feature is a dictionary attribute (pem.attach_jw):
     # candidates arrive pre-scored on the string kernel, so scoring is a
@@ -158,9 +181,15 @@ def run(
         scored = stage("scored", make_scored)
         resolved = stage("resolved", lambda: scoring.resolve(scored))
     if store is None:
-        # resolved feeds both the CC job and the final join — materialize it
-        # once instead of recomputing the whole upstream twice
-        resolved = resolved.localCheckpoint(eager=True)
+        # resolved feeds both the CC job and the final join — cache it so
+        # the upstream computes once. A LAZY persist (not the old eager
+        # localCheckpoint): the cache fills inside the CC round's first job
+        # instead of as a separate full-pipeline driver barrier, and the
+        # final join reads the filled cache. persist (vs localCheckpoint)
+        # keeps lineage, which local mode never needs truncated here — the
+        # CC rounds do their own checkpointing where lineage actually grows.
+        resolved = resolved.persist()
+        _PERSISTED.append(resolved)
     clusters = stage("clusters", lambda: clustering.cluster_assignments(resolved))
 
     out = resolved.join(clusters, "mention_id")
