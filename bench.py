@@ -348,12 +348,13 @@ def stage_run(corpus: str, prep: str, stage: str, cores: int,
                           (prior + jw + cosine) + argmax resolution, over
                           the materialized post-coref candidates
       clustering        — the engine's clustering driver for a
-                          shard-partitioned corpus: CC_AMPLIFY independent
-                          large-star/small-star CC jobs run CONCURRENTLY
-                          (clustering.cluster_assignments_sharded), so the
-                          per-round driver barriers of one shard overlap
-                          the compute of the others — the serial fraction
-                          that capped N->4N scaling in rounds 2-3
+                          shard-partitioned corpus
+                          (clustering.cluster_assignments_sharded): shards
+                          round-robined into a few GROUPS, one concurrent
+                          CC job per group, so per-round driver barriers
+                          of one job overlap the compute of the others
+                          without the one-plan-per-shard driver storm that
+                          made 16 concurrent jobs DRIVER-bound at 16 cores
       clustering_global — ONE global CC over the same edges (the round-3
                           gate shape, kept for transparency: it measures
                           the algorithm WITH its driver-loop serial
@@ -413,7 +414,6 @@ def stage_run(corpus: str, prep: str, stage: str, cores: int,
             materialize(
                 clustering.cluster_assignments_sharded(
                     resolved, shard_col="shard", shards=shards,
-                    max_parallel=8,
                 )
             )
 

@@ -610,7 +610,14 @@ def score_resolve_fused(
             F.first("block_key").alias("block_key"),
             F.first("offset").alias("offset"),
         )
-    return attrs.join(winners, "mention_id").select(
+    # shuffle-hash, never broadcast: at corpus scale BOTH sides are
+    # mention-count-sized (attrs IS the corpus's mentions), so a broadcast
+    # plan would collect the whole corpus to the driver at 100 TB — and at
+    # bench scale the broadcast build is pure per-run DRIVER time (collect
+    # + hash-table build), a serial charge that lands exactly on the fast
+    # arm of the N->4N efficiency ratio. Hashed exchange of two slim row
+    # sets is parallel at every width, with no sort (unlike merge join).
+    return attrs.hint("shuffle_hash").join(winners, "mention_id").select(
         "doc_id", "mention_id", "block_key", "offset", "qcode", "score"
     )
 

@@ -111,6 +111,14 @@ def get_spark(
         b = (
             b.config("spark.sql.files.openCostInBytes", str(1024 * 1024))
             .config("spark.sql.files.minPartitionNum", str(2 * n_cores))
+            # AQE coalesce target. The 64 MB default coalesces a ~1 GB
+            # exchange to ~18 partitions — 1.1 WAVES on a 16-core arm, so
+            # the last 2 tasks run with 14 cores idle (measured: clustering
+            # stages at 78% utilization, single-task tails in every stage).
+            # 16 MB keeps >= 4 waves per stage at bench widths; on a real
+            # cluster partitions stay ~thousands for 100 TB exchanges and
+            # this knob only trims the tail of the FINAL stages.
+            .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
             # zstd shuffles ~35% smaller than lz4 on this engine's
             # numeric-heavy exchanges for a little extra CPU — the right
             # trade when storage/network is the scarce resource (the network
