@@ -241,17 +241,31 @@ def simhash_col(text: Column, num_bits: int = 64) -> Column:
         ),
     )
 
-    def bit(s: Column, b: int) -> Column:
-        fld, sh = ("h1", b) if b < 60 else ("h2", b - 60)
-        return F.shiftright(s[fld], sh).bitwiseAND(F.lit(1)).cast("int")
-
+    # Constant array of per-bit masks (m1 hits h1 for bits 0-59, m2 hits h2
+    # for bits 60-63; exactly one is nonzero per entry). Constant-folded to
+    # ONE literal, so the vote loop compiles to a single zip_with body —
+    # the previous formulation unrolled num_bits shiftright/and/cast
+    # expressions inside the aggregate lambda and at 64 bits the generated
+    # Java method crossed janino's 64 KB ceiling, dropping the whole
+    # projection out of whole-stage codegen into interpreted mode.
+    masks = F.array(*[
+        F.struct(
+            F.lit((1 << b) if b < 60 else 0).cast("long").alias("m1"),
+            F.lit(0 if b < 60 else (1 << (b - 60))).cast("long").alias("m2"),
+        )
+        for b in range(num_bits)
+    ])
     votes = F.aggregate(
         hs,
         F.array_repeat(F.lit(0), num_bits),
         lambda acc, s: F.zip_with(
             acc,
-            F.array(*[bit(s, b) for b in range(num_bits)]),
-            lambda a, x: a + x * 2 - 1,
+            masks,
+            lambda a, m: a + F.when(
+                (s["h1"].bitwiseAND(m["m1"]) != 0)
+                | (s["h2"].bitwiseAND(m["m2"]) != 0),
+                1,
+            ).otherwise(-1),
         ),
     )
     powers = [(1 << b) if b < 63 else -(1 << 63) for b in range(num_bits)]
