@@ -184,7 +184,7 @@ def main_bench() -> None:
     for _ in range(3):
         run_er_pipeline(spark, corpus)
     samples = []
-    for _ in range(2):
+    for _ in range(3):
         for _ in range(30):
             if _busy_frac() <= MAX_BENCH_BUSY:
                 break
@@ -605,6 +605,79 @@ AB_FUSED_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "jobs", "ab_fused_result.json"
 )
 
+AMORTIZE_HEADING = "## e2e efficiency vs corpus size (jobs/e2e_amortize.py)"
+
+
+def _amortize_lines() -> list[str]:
+    """The BENCH.md section for jobs/e2e_amortize.py's result — the Amdahl
+    fit that evidences the e2e non-scaling fraction is FIXED per-job driver
+    work (amortizes at 100 TB), not a serial stage growing with n."""
+    amortize_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "jobs",
+        "e2e_amortize_result.json")
+    if not os.path.exists(amortize_path):
+        return []
+    with open(amortize_path) as f:
+        am = json.load(f)
+    fit = am.get("fit", {})
+    return [
+        "",
+        AMORTIZE_HEADING,
+        "",
+        "The e2e number above sits below the stage gates because a full",
+        "pipeline pays per-JOB fixed driver work (plan construction,",
+        "entity-matrix collect, per-stage job submission, CC round",
+        "barriers) that does not grow with the corpus — cost a 100 TB",
+        "job pays once. Amdahl fit from the small-corpus arms",
+        "(T_c = F + S/c): fixed F = "
+        f"{fit.get('fixed_s', '?')} s, scalable S = "
+        f"{fit.get('scalable_s', '?')} s; the fit PREDICTS the 3x",
+        f"corpus at t4={fit.get('pred_big_t4', '?')} s,",
+        f"t16={fit.get('pred_big_t16', '?')} s, efficiency",
+        f"{fit.get('pred_big_eff', '?')} — measured below with the",
+        "identical steal-gated harness. Efficiency rising with corpus",
+        "size on the predicted curve is the measurable form of the",
+        "amortization claim (a serial stage growing with n would",
+        "flatten it instead):",
+        "",
+        "| docs | entities | 4-core s | 16-core s | eff | samples (4c / 16c) | steal (4c / 16c) |",
+        "|---|---|---|---|---|---|---|",
+        *[
+            f"| {r['docs']:,} | {r['entities']:,} | {r['t4']} |"
+            f" {r['t16']} | **{r['eff']}** | {r['samples4']} /"
+            f" {r['samples16']} | {r['steal4']} / {r['steal16']} |"
+            for r in am.get("rows", [])
+        ],
+    ]
+
+
+def splice_amortize_md() -> None:
+    """Fold jobs/e2e_amortize_result.json into the EXISTING BENCH.md without
+    re-running the full scaling matrix (--scaling rewrites the whole file;
+    this mode only replaces/inserts the amortize section). The section goes
+    where _write_bench_md puts it: right before the gate-pair diagnosis."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+    with open(path) as f:
+        lines = f.read().splitlines()
+    new = _amortize_lines()
+    if not new:
+        print("no jobs/e2e_amortize_result.json — nothing to splice")
+        return
+    anchor = "## Why the gate pair is 4 -> 16 cores on this box"
+    if AMORTIZE_HEADING in lines:
+        start = lines.index(AMORTIZE_HEADING) - 1  # the blank line before it
+        end = next((i for i in range(start + 2, len(lines))
+                    if lines[i].startswith("## ")), len(lines))
+        lines[start:end] = new
+    elif anchor in lines:
+        i = lines.index(anchor)
+        lines[i:i] = new[1:] + [""]
+    else:
+        lines += new
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"spliced amortize section into {path}")
+
 
 def _write_bench_md(results, eff, row, eff_str, GATE_PAIR, WIDE_PAIR) -> None:
     rows = [row("scoring", "docs/s", GATE_PAIR),
@@ -651,6 +724,8 @@ def _write_bench_md(results, eff, row, eff_str, GATE_PAIR, WIDE_PAIR) -> None:
             "budget and is asserted row-for-row equal in",
             "tests/test_pipeline_e2e.py.",
         ]
+
+    amortize_lines = _amortize_lines()
 
     lines = [
         "# BENCH — stage throughput & N -> 4N scaling",
@@ -711,6 +786,7 @@ def _write_bench_md(results, eff, row, eff_str, GATE_PAIR, WIDE_PAIR) -> None:
         "passed at scoring 0.830 / clustering 0.857 (single global CC job,",
         "one clean 4-core sample — superseded by the table above).",
         *ab_lines,
+        *amortize_lines,
         "",
         "## Why the gate pair is 4 -> 16 cores on this box",
         "",
@@ -790,5 +866,7 @@ if __name__ == "__main__":
                   int(sys.argv[i + 5]) if len(sys.argv) > i + 5 else BENCH_RUNS)
     elif "--scaling" in sys.argv:
         main_scaling()
+    elif "--amortize-md" in sys.argv:
+        splice_amortize_md()
     else:
         main_bench()
