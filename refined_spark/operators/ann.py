@@ -1,15 +1,19 @@
 """Similarity search over an embedding column (array<float>).
 
-Two paths:
+Paths:
   - brute-force cosine top-k: exact baseline. JVM-side dot products
     (zip_with/aggregate) after a broadcast of the query set; per-item top-k
     via window rank (Catalyst rewrites rank<=k into a group-limit, no full
     sort).
-  - LSH-bucketed (random hyperplane signatures): the scale path. Each vector
-    gets a b-bit signature from fixed seeded hyperplanes; candidates share a
-    signature bucket (optionally multi-probe neighboring buckets), then exact
-    cosine re-rank inside buckets. At 10^9+ vectors the bucket join replaces
-    the O(N*Q) scan.
+  - LSH-bucketed (random hyperplane signatures): the data-oblivious scale
+    path. Each vector gets a b-bit signature from fixed seeded hyperplanes;
+    candidates share a signature bucket (optionally multi-probe neighboring
+    buckets), then exact cosine re-rank inside buckets. At 10^9+ vectors
+    the bucket join replaces the O(N*Q) scan.
+  - IVF (inverted-file) top-k: the data-ADAPTIVE scale path — coarse
+    centroids sampled deterministically from the corpus, one cell per
+    vector, queries probe their n_probe nearest cells. Cells follow the
+    corpus density where hyperplane buckets are fixed a priori.
   - embedding near-dup: all pairs above a cosine threshold within buckets.
 
 Deterministic: hyperplanes derive from the md5-based LCG (functions/hashing),
@@ -152,6 +156,81 @@ def cosine_topk_lsh(
         ).alias("bucket"),
     )
     scored = v.join(broadcast_dim(q), "bucket").select(
+        "query_id",
+        "vec_id",
+        F.round(
+            dot_col(F.col("q_emb"), F.col("v_emb"))
+            / (l2_norm_col(F.col("q_emb")) * l2_norm_col(F.col("v_emb"))),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_topk(
+    vectors: DataFrame, queries: DataFrame, k: int = 10, n_cells: int = 16,
+    n_probe: int = 2, id_col: str = "vec_id", emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: data-adaptive coarse quantization, the
+    classic alternative to the data-oblivious hyperplane LSH above. Cells
+    follow the corpus distribution — dense regions get many cells, empty
+    regions none — where fixed hyperplanes waste buckets on empty space.
+
+      1. coarse centroids: the n_cells corpus vectors with the smallest
+         md5(vec_id) — a deterministic uniform sample (md5 is the repo's
+         cross-engine hash), sort-limited (TakeOrderedAndProject: no
+         global sort materializes). A k-means refinement would drop in
+         here; the sampled quantizer keeps the plan one job and is the
+         standard bootstrap (it IS k-means iteration zero).
+      2. assignment: every corpus vector joins the broadcast centroid dim
+         (n_cells rows by contract) and keeps its max-cosine cell —
+         rank<=1 window, which Catalyst executes as a group-limit.
+      3. probing: each query keeps its n_probe highest-cosine cells, then
+         equi-joins the corpus assignment on cell — at 10^9+ vectors this
+         inverted-list join replaces the O(N*Q) scan, touching only
+         ~n_probe/n_cells of the corpus per query.
+      4. exact cosine re-rank inside the probed cells, row_number <= k.
+
+    Each corpus vector lives in exactly one cell and probed cells are
+    distinct, so no (query, vec) pair is scored twice — at n_probe ==
+    n_cells the result is exactly brute force (tested). Cosines round to
+    6 dp before every rank so float near-ties break on the deterministic
+    id in both engines."""
+    cent = (
+        vectors.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cent_id"), F.col(emb_col).alias("c_emb"))
+    )
+    cos_to_cent = F.round(
+        dot_col(F.col("emb"), F.col("c_emb"))
+        / (l2_norm_col(F.col("emb")) * l2_norm_col(F.col("c_emb"))),
+        6,
+    )
+    cell_rank = Window.partitionBy("_id").orderBy(
+        F.desc("ccos"), F.asc("cent_id")
+    )
+
+    def assign(df: DataFrame, df_id: str, keep: int) -> DataFrame:
+        scored = (
+            df.select(F.col(df_id).alias("_id"), F.col(emb_col).alias("emb"))
+            .crossJoin(broadcast_dim(cent))
+            .select("_id", "emb", "cent_id", cos_to_cent.alias("ccos"))
+        )
+        return (
+            scored.withColumn("_r", F.row_number().over(cell_rank))
+            .where(F.col("_r") <= keep)
+            .select("_id", "emb", F.col("cent_id").alias("cell"))
+        )
+
+    v = assign(vectors, id_col, 1).select(
+        F.col("_id").alias("vec_id"), F.col("emb").alias("v_emb"), "cell"
+    )
+    q = assign(queries, query_id_col, n_probe).select(
+        F.col("_id").alias("query_id"), F.col("emb").alias("q_emb"), "cell"
+    )
+    scored = v.join(broadcast_dim(q), "cell").select(
         "query_id",
         "vec_id",
         F.round(

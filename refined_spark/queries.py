@@ -925,6 +925,63 @@ WHERE rank <= 5 AND query_id <> vec_id
 SQL_ANN_MULTIPROBE = _sql_ann_multiprobe()
 
 
+_IVF_CELLS = 8
+_IVF_PROBE = 2
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN next to the hyperplane-LSH scale path:
+    centroids are a deterministic md5-ordered sample of the corpus, every
+    vector keeps its max-cosine cell, queries probe their n_probe nearest
+    cells, exact re-rank inside. Data-adaptive where LSH is oblivious."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.ivf_topk(
+        e, queries, k=5, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE
+    ).where(F.col("query_id") != F.col("vec_id"))
+
+
+_SQL_COS = (
+    "round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) /"
+    " (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) *"
+    " sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6)"
+)
+
+SQL_ANN_IVF = f"""
+WITH c AS (
+  SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
+  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {_IVF_CELLS}
+), va AS (
+  SELECT v.vec_id, v.embedding, c.cent_id,
+         {_SQL_COS.format(a='v.embedding', b='c.c_emb')} AS ccos
+  FROM embeddings v CROSS JOIN c
+), v AS (
+  SELECT vec_id, embedding, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cent_id ASC) AS r
+    FROM va) WHERE r = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cent_id ASC) AS r
+    FROM va WHERE vec_id < 20) WHERE r <= {_IVF_PROBE}
+), scored AS (
+  SELECT q.query_id, v.vec_id,
+         {_SQL_COS.format(a='q.q_emb', b='v.embedding')} AS cos
+  FROM v JOIN q USING (cell)
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos, rank FROM ranked
+WHERE rank <= 5 AND query_id <> vec_id
+"""
+
+
 # -------------------------------------------------- sequence / interval / date
 def q_bio_decode(spark, sf_dir):
     """C6: BIO tag-sequence decode to spans via window lag + running-sum
@@ -1636,6 +1693,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup_multirot": q_embedding_neardup_multirot,
     "ann_lsh": q_ann_lsh,
     "ann_multiprobe": q_ann_multiprobe,
+    "ann_ivf": q_ann_ivf,
     "bio_decode": q_bio_decode,
     "span_overlap_merge": q_span_overlap_merge,
     "date_resolution": q_date_resolution,
@@ -1677,6 +1735,7 @@ ORACLES: dict[str, str] = {
     "embedding_neardup_multirot": SQL_EMBEDDING_NEARDUP_MULTIROT,
     "ann_lsh": SQL_ANN_LSH,
     "ann_multiprobe": SQL_ANN_MULTIPROBE,
+    "ann_ivf": SQL_ANN_IVF,
     "bio_decode": SQL_BIO_DECODE,
     "span_overlap_merge": SQL_SPAN_OVERLAP,
     "date_resolution": SQL_DATE_RESOLUTION,

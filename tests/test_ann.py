@@ -75,6 +75,52 @@ def test_multiprobe_improves_recall(spark, vectors):
         assert mine[0].vec_id == q and mine[0].cos == 1.0
 
 
+def test_ivf_full_probe_equals_bruteforce(spark, vectors):
+    """Probing every cell scores every (query, vec) pair exactly once, so
+    IVF at n_probe == n_cells must equal brute force rank-for-rank."""
+    from refined_spark.operators.ann import cosine_topk_bruteforce, ivf_topk
+
+    df, _ = vectors
+    queries = df.where("vec_id < 10").selectExpr(
+        "vec_id as query_id", "embedding")
+    exact = {(r.query_id, r.rank): r.vec_id
+             for r in cosine_topk_bruteforce(df, queries, k=5).collect()}
+    got = {(r.query_id, r.rank): r.vec_id
+           for r in ivf_topk(df, queries, k=5, n_cells=8,
+                             n_probe=8).collect()}
+    assert got == exact
+
+
+def test_ivf_partial_probe_recall(spark, vectors):
+    """At n_probe=2 of 8 cells every query still finds itself at rank 1
+    (its own cell is its first probe and it is assigned to that cell), and
+    recall@5 against brute force stays well above the ~2/8 corpus fraction
+    actually scanned — the point of probing NEAREST cells."""
+    from refined_spark.operators.ann import ivf_topk
+
+    df, vecs = vectors
+    queries = df.where("vec_id < 20").selectExpr(
+        "vec_id as query_id", "embedding")
+    rows = ivf_topk(df, queries, k=5, n_cells=8, n_probe=2).collect()
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ vecs.T) / np.outer(norms, norms)
+    truth = {
+        q: set(int(i) for i in
+               np.argsort(np.round(-sims[q], 6), kind="stable")[:5])
+        for q in range(20)
+    }
+    got = {}
+    for r in rows:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    for q in range(20):
+        mine = sorted((r for r in rows if r.query_id == q),
+                      key=lambda r: r.rank)
+        assert mine[0].vec_id == q and mine[0].cos == 1.0
+    recall = sum(len(got.get(q, set()) & truth[q]) for q in truth) / (
+        5 * len(truth))
+    assert recall >= 0.5
+
+
 def test_simhash_pairs_exact_recall(spark):
     """Pigeonhole blocking is lossless: simhash_pairs == brute-force pairs
     within the hamming radius (including radius 0 and the degenerate
