@@ -127,6 +127,7 @@ def connected_components(
     max_rounds: int = 30,
     edges_unique: bool = False,
     check_every: int = 2,
+    proven_rounds: int | None = None,
 ) -> DataFrame:
     """edges(src long, dst long) -> (node long, component long) where
     component is the minimum node id of the component. Isolated nodes do not
@@ -161,6 +162,21 @@ def connected_components(
     rounds re-emit the forest unchanged (two cheap shuffles), while every
     skipped check saves a full forest-test aggregation.
 
+    proven_rounds=k skips the convergence test entirely and runs EXACTLY k
+    large∘small rounds: for edge sets whose shape guarantees the round
+    count (e.g. bipartite stars — every edge joins a leaf to its hub, no
+    two leaves share an edge — collapse to the depth-1 forest in ONE
+    round: large-star links every larger-than-hub node to the hub's
+    minimum and small-star re-roots the rest), the forest test is a
+    theorem check, and skipping it saves one full pass over the edge set
+    (a union + groupBy + count action) PER CALL — a real bill at 100 TB
+    and a driver barrier at any scale. The PROOF obligation is the
+    caller's: an edge set that needs more than k rounds returns a
+    deeper-than-1 forest silently, so only pass proven_rounds for shapes
+    constructed by the caller itself, never for caller-supplied graphs
+    (cluster_assignments qualifies: it builds the star edges two lines
+    above the call).
+
     Raises RuntimeError if max_rounds is exhausted before convergence
     (returning the unconverged state could silently split components)."""
     cur = edges.select(
@@ -169,6 +185,18 @@ def connected_components(
     if not edges_unique:
         cur = cur.distinct()
     cur = cur.localCheckpoint(eager=False)
+    if proven_rounds is not None:
+        for _ in range(proven_rounds):
+            cur = _small_star(_large_star(cur))
+        # no checkpoint needed: the fixed round count bounds lineage depth
+        comp = cur.select(
+            F.col("src").alias("node"), F.col("dst").alias("component")
+        )
+        roots = (
+            cur.select("dst").distinct()
+            .select(F.col("dst").alias("node"), F.col("dst").alias("component"))
+        )
+        return comp.unionByName(roots)
     converged = False
     rounds_done = 0
     while rounds_done < max_rounds:
@@ -281,19 +309,21 @@ def cluster_assignments(resolved: DataFrame) -> DataFrame:
     similarity evidence (dedup.py) can be unioned in, and because the judge
     grades the scalable clustering path.
 
-    check_every=1 here (the general default is 2): winner edges form
-    BIPARTITE STARS (every edge connects a mention node to its entity
-    anchor; mention nodes never share an edge), and one
-    large-star∘small-star round maps every node of such a component to
-    the component minimum — large-star links all larger-than-center
-    nodes to the center's minimum and small-star collapses the rest —
-    so round 1 always yields the depth-1 forest. Checking after every
-    round therefore costs nothing extra (there IS only one round) and
-    skips the second no-op round that check_every=2 would fuse in front
-    of the test: two shuffles saved per call, at every corpus size. The
-    convergence test still gates the result, so a caller that unions
-    non-star evidence edges into `resolved` upstream only loses the
-    batching, never correctness."""
+    proven_rounds=1: the edges built two lines below are BIPARTITE STARS
+    by construction (every edge connects a unique mention node to its
+    entity anchor; mention nodes never share an edge — extract_mentions
+    guarantees mention_id uniqueness), and one large-star∘small-star
+    round maps every node of such a component to the component minimum —
+    large-star links all larger-than-center nodes to the center's minimum
+    and small-star collapses the rest. The per-round convergence test is
+    therefore a theorem check here, and skipping it (see
+    connected_components) saves a full pass over the edge set — one
+    union + groupBy + count action and its driver barrier — per pipeline
+    run at every corpus size. The proof obligation stays INSIDE this
+    function: the edge set never comes from the caller, so no caller can
+    invalidate the star shape. Evidence edges from dedup/similarity are
+    unioned at the component level downstream (or run through the tested
+    general loop), never into this star job."""
     m = resolved.select(
         "mention_id", "qcode", F.xxhash64("mention_id").alias("mid")
     )
@@ -301,7 +331,7 @@ def cluster_assignments(resolved: DataFrame) -> DataFrame:
         "mention_id", "mid", F.xxhash64(F.lit("ENT:"), "qcode").alias("eid")
     )
     edges = anchors.select(F.col("mid").alias("src"), F.col("eid").alias("dst"))
-    comp = connected_components(edges, edges_unique=True, check_every=1)
+    comp = connected_components(edges, edges_unique=True, proven_rounds=1)
     assigned = (
         m.join(comp, m["mid"] == comp["node"], "left")
         .select(

@@ -65,6 +65,35 @@ def test_check_every_batching_is_invariant(spark):
     assert _components(spark, edges, check_every=3) == expected
 
 
+def test_proven_rounds_star_matches_tested_loop(spark):
+    """proven_rounds=1 on bipartite stars (the cluster_assignments shape)
+    returns exactly what the convergence-tested loop returns — the skipped
+    forest test was a theorem check. Mixed component sizes, including a
+    singleton edge and a large hub, exercise both star roles."""
+    edges = [(100, i) for i in range(1, 9)] + [(200, 150)] + [(300, i) for i in (50, 60)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    tested = {(r.node, r.component)
+              for r in connected_components(df, check_every=1).collect()}
+    proven = {(r.node, r.component)
+              for r in connected_components(df, proven_rounds=1).collect()}
+    assert proven == tested
+
+
+def test_proven_rounds_contract_is_caller_owned(spark):
+    """The flip side of the contract: proven_rounds too small for the shape
+    returns a NON-forest silently (here: a path needs >1 round). This
+    documents why proven_rounds must only be passed for internally
+    constructed shapes — the tested loop is the default for a reason."""
+    edges = [(i, i + 1) for i in range(8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = connected_components(df, proven_rounds=1).collect()
+    comp = {}
+    for r in rows:
+        comp.setdefault(r.component, set()).add(r.node)
+    # one true component, but the premature stop leaves it split
+    assert len(comp) > 1
+
+
 def test_component_label_is_min_id(spark):
     df = spark.createDataFrame([(5, 9), (9, 3)], "src long, dst long")
     rows = connected_components(df).collect()
