@@ -340,6 +340,21 @@ def _busy_frac(interval: float = 1.0) -> float:
     return 1.0 - (i1 - i0) / dt if dt else 0.0
 
 
+def _cpu_busy_sys_seconds() -> tuple[float, float]:
+    """Cumulative machine-wide (busy, sys) CPU seconds from /proc/stat.
+    The delta across a measured run, divided by wall, gives busy-cores and
+    sys-cores DURING the run — the two probes that separate the three
+    non-scaling stories a wide arm can tell: busy << cores with low sys =
+    stage tails / barriers (serial fraction); high sys = guest-kernel storm
+    (box artifact, BENCH.md diagnosis #2); busy ~= cores with low sys =
+    the work itself grew (real algorithmic cost)."""
+    with open("/proc/stat") as f:
+        v = [int(x) for x in f.readline().split()[1:]]
+    tck = os.sysconf("SC_CLK_TCK")
+    idle = v[3] + (v[4] if len(v) > 4 else 0)
+    return (sum(v) - idle) / tck, v[2] / tck
+
+
 def stage_run(corpus: str, prep: str, stage: str, cores: int,
               runs: int = BENCH_RUNS) -> None:
     """Subprocess body: one JVM pinned to `cores` CPUs (taskset in the
@@ -448,6 +463,8 @@ def stage_run(corpus: str, prep: str, stage: str, cores: int,
     secs = []
     loads = []
     steals = []
+    busy_list = []
+    sys_list = []
     attempts = 0
     # generous retry budget: the round-3 clustering-4 arm exhausted 2n+2
     # attempts under persistent ~1-vCPU steal and kept ONE clean-ish sample
@@ -465,10 +482,14 @@ def stage_run(corpus: str, prep: str, stage: str, cores: int,
             time.sleep(4)
         loads.append(round(os.getloadavg()[0], 2))
         st0 = _cpu_steal_seconds()
+        bs0 = _cpu_busy_sys_seconds()
         t0 = time.time()
         body()
         dt = time.time() - t0
         stolen_cores = (_cpu_steal_seconds() - st0) / dt
+        bs1 = _cpu_busy_sys_seconds()
+        busy_list.append(round((bs1[0] - bs0[0]) / dt, 2))
+        sys_list.append(round((bs1[1] - bs0[1]) / dt, 2))
         steals.append(round(stolen_cores, 2))
         _unpersist_all(spark)
         # a run that lost >MAX_STEAL_CORES vCPUs to the hypervisor is
@@ -483,6 +504,8 @@ def stage_run(corpus: str, prep: str, stage: str, cores: int,
                       "all_secs": [round(s, 2) for s in sorted(secs)],
                       "loadavg_at_start": loads,
                       "steal_cores": steals,
+                      "busy_cores": busy_list,
+                      "sys_cores": sys_list,
                       "items_per_sec": round(n_items / best, 1),
                       "n_items": n_items}))
     spark.stop()
