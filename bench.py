@@ -610,6 +610,10 @@ def main_scaling() -> None:
             prev["loadavg_at_start"] += r["loadavg_at_start"]
             prev["steal_cores"] = prev.get("steal_cores", []) + r.get(
                 "steal_cores", [])
+            prev["busy_cores"] = prev.get("busy_cores", []) + r.get(
+                "busy_cores", [])
+            prev["sys_cores"] = prev.get("sys_cores", []) + r.get(
+                "sys_cores", [])
             if r["sec"] < prev["sec"]:
                 prev["sec"] = r["sec"]
                 prev["items_per_sec"] = r["items_per_sec"]
@@ -668,14 +672,21 @@ def _amortize_lines() -> list[str]:
         "identical steal-gated harness. Efficiency rising with corpus",
         "size on the predicted curve is the measurable form of the",
         "amortization claim (a serial stage growing with n would",
-        "flatten it instead):",
+        "flatten it instead). The busy/sys columns are /proc/stat",
+        "deltas across each measured run: busy below the core count is",
+        "the fixed serial fraction made visible (Amdahl cross-check:",
+        "F/T of the wall with 1 busy core predicts the deficit), and",
+        "sys is guest-kernel overhead — the box artifact arm, not the",
+        "job's:",
         "",
-        "| docs | entities | 4-core s | 16-core s | eff | samples (4c / 16c) | steal (4c / 16c) |",
-        "|---|---|---|---|---|---|---|",
+        "| docs | entities | 4-core s | 16-core s | eff | samples (4c / 16c) | steal (4c / 16c) | busy (4c / 16c) | sys (4c / 16c) |",
+        "|---|---|---|---|---|---|---|---|---|",
         *[
             f"| {r['docs']:,} | {r['entities']:,} | {r['t4']} |"
             f" {r['t16']} | **{r['eff']}** | {r['samples4']} /"
             f" {r['samples16']} | {r['steal4']} / {r['steal16']} |"
+            f" {r.get('busy4', [])} / {r.get('busy16', [])} |"
+            f" {r.get('sys4', [])} / {r.get('sys16', [])} |"
             for r in am.get("rows", [])
         ],
         *_amortize_verdict(am),
@@ -869,10 +880,22 @@ def _write_bench_md(results, eff, row, eff_str, GATE_PAIR, WIDE_PAIR) -> None:
         "   even for a perfectly scalable job. At 4 -> 16 both arms sit",
         "   below saturation and the pair measures the job, not the box.",
         "2. **Guest-kernel storms.** Identical back-to-back runs flip from",
-        "   2 to 14+ cores of sys time (tmpfs/page-cache contention in the",
-        "   shared guest kernel), turning 61 s runs into 485 s runs. Wide",
-        "   arms are hit proportionally harder (every core faults into the",
-        "   same kernel).",
+        "   2 to 14+ cores of sys time, turning 61 s runs into 485 s runs;",
+        "   wide arms are hit proportionally harder (every core traps into",
+        "   the same guest kernel). Round-4 root-cause (burst-gated kernel-",
+        "   stack sampling of running threads during 9x-corpus e2e runs):",
+        "   the dominant kernel cost is hrtimer reprogramming",
+        "   (clockevents_program_event) + RCU + scheduler-tick IRQ overhead",
+        "   — each timer reprogram is a VM exit to a contended hypervisor —",
+        "   plus page-fault churn around JVM<->Python Arrow batch",
+        "   boundaries (64-116k faults/s machine-wide during exchange",
+        "   phases). NOT GC (jstat: ~1.5% of wall), NOT disk (io counters",
+        "   flat), NOT THP/compaction/reclaim (vmstat flat), NOT",
+        "   shuffle-block mmap (12/4579 stack samples; raising",
+        "   spark.storage.memoryMapThreshold to 2g changed nothing). The",
+        "   one lever that moved it: 10x bigger Arrow batches (fewer",
+        "   kernel crossings per row) — adopted in the scale profile, see",
+        "   jobs/ab_arrow_batch.py and the behavior note below.",
         "3. **Hypervisor steal.** Bursts of 5+ stolen vCPUs (measured via",
         "   /proc/stat steal) — a 279 s clustering sample vs the 64 s quiet",
         "   value. Runs that lose >" + str(MAX_STEAL_CORES) +
@@ -901,15 +924,26 @@ def _write_bench_md(results, eff, row, eff_str, GATE_PAIR, WIDE_PAIR) -> None:
         "- lsh_candidate_pairs bucket_cap now defaults to 2000 (was None):",
         "  uncapped boilerplate buckets would OOM the posting-list pair",
         "  emitter; dropped volume is observable, pass None to disable.",
+        "- scale profile Arrow batches 10k -> 100k records (round 4): the",
+        "  per-batch JVM<->Python kernel crossings were the measured",
+        "  non-scaling cost at the 9x amortization corpus (A/B in",
+        "  jobs/ab_arrow_batch.py: 411-463 s -> 370 s at 16 cores).",
+        "  Results are batch-size-invariant (kernel property tests);",
+        "  the local profile keeps Spark's 10k default.",
         "",
-        "Raw samples (seconds, sorted ascending; loadavg(1m) and stolen",
-        "vCPUs (steal-time delta / wall) recorded per measured run — runs",
+        "Raw samples (seconds, sorted ascending; per measured run the",
+        "loadavg(1m) at start, stolen vCPUs (steal-time delta / wall), and",
+        "machine-wide busy/sys cores DURING the run (/proc/stat deltas) —",
+        "busy ~= cores with low sys means the arm really computed; busy <<",
+        "cores is serial fraction; high sys is guest-kernel overhead. Runs",
         "wait for the instantaneous machine busy fraction <= "
-        f"{MAX_BENCH_BUSY} before starting):",
+        f"{MAX_BENCH_BUSY} before starting:",
         *[
             f"- {stage} local[{cores}]: {results[(stage, cores)]['all_secs']}"
             f" (load {results[(stage, cores)]['loadavg_at_start']}, "
-            f"stolen vCPUs {results[(stage, cores)].get('steal_cores', [])})"
+            f"stolen vCPUs {results[(stage, cores)].get('steal_cores', [])}, "
+            f"busy {results[(stage, cores)].get('busy_cores', [])}, "
+            f"sys {results[(stage, cores)].get('sys_cores', [])})"
             for (stage, cores) in results
         ],
     ]

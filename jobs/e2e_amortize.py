@@ -104,6 +104,10 @@ def main() -> None:
             "eff": round(eff, 3),
             "samples4": arms[4]["all_secs"], "samples16": arms[16]["all_secs"],
             "steal4": arms[4]["steal_cores"], "steal16": arms[16]["steal_cores"],
+            "busy4": arms[4].get("busy_cores", []),
+            "busy16": arms[16].get("busy_cores", []),
+            "sys4": arms[4].get("sys_cores", []),
+            "sys16": arms[16].get("sys_cores", []),
         }
         rows.append(row)
         print(json.dumps(row))

@@ -125,6 +125,17 @@ def get_spark(
             # bill at 100 TB). Bigger file buffers cut syscalls per write.
             .config("spark.io.compression.codec", "zstd")
             .config("spark.shuffle.file.buffer", "1m")
+            # Arrow batch size 10k -> 100k rows at scale: every batch is a
+            # JVM<->Python worker round trip (socket writes, epoll timed
+            # waits, allocator churn on both sides), and that per-batch
+            # kernel work is what stops an N->4N core scale-up long before
+            # user CPU does. Measured on the 3.24M-doc e2e corpus at 16
+            # cores (jobs/ab_arrow_batch.py): 10k batches ran 411-463 s
+            # with 3.1-5.2 cores of machine-wide sys time; 100k batches
+            # 370 s / 3.2 sys. Worst-case batch memory stays modest (100k
+            # slim candidate rows ~ 10 MB; 100k docs of fixture text
+            # ~ 100 MB per worker) against the 48 GB heap.
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         )
     # shuffle/checkpoint spill directory: this sandbox's virtual disk is
     # IOPS-throttled and shared, which makes shuffle-heavy stages both slow
