@@ -106,19 +106,29 @@ def get_spark(
         # bytes/minPartitionNum) capped at maxPartitionBytes; the 4 MB
         # openCost default floors a 60 MB table at ~15 splits — starving a
         # 32-core pool (measured: the doc-embedding UDF stage ran 15 tasks
-        # on 32 cores). At 100 TB inputs have thousands of >=128 MB splits
-        # and neither knob matters.
+        # on 32 cores). The floor is tied to the SHUFFLE partition count,
+        # not the core count, for two reasons: (a) a cluster job ships ONE
+        # config and runs at N or 4N executors — a core-derived floor means
+        # the two arms of an N->4N comparison silently run different scan
+        # plans; (b) 2x-cores splits give a wide arm only ~2 waves of scan
+        # tasks, so one straggling Arrow batch parks a quarter of the arm
+        # in the stage tail (measured round 4: 16-core scoring busy=14.25
+        # of 16). At 100 TB inputs have thousands of >=128 MB splits and
+        # this knob never fires.
         b = (
             b.config("spark.sql.files.openCostInBytes", str(1024 * 1024))
-            .config("spark.sql.files.minPartitionNum", str(2 * n_cores))
+            .config("spark.sql.files.minPartitionNum",
+                    str(max(shuffle_partitions, 2 * n_cores)))
             # AQE coalesce target. The 64 MB default coalesces a ~1 GB
             # exchange to ~18 partitions — 1.1 WAVES on a 16-core arm, so
             # the last 2 tasks run with 14 cores idle (measured: clustering
             # stages at 78% utilization, single-task tails in every stage).
-            # 16 MB keeps >= 4 waves per stage at bench widths; on a real
+            # 8 MB keeps >= 4 waves per stage even for the scoring stage's
+            # slim-row exchange (round 4: at 16 MB the 16-core arm idled
+            # 1.6 cores in stage tails, busy=14.4 of 16); on a real
             # cluster partitions stay ~thousands for 100 TB exchanges and
             # this knob only trims the tail of the FINAL stages.
-            .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+            .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
             # zstd shuffles ~35% smaller than lz4 on this engine's
             # numeric-heavy exchanges for a little extra CPU — the right
             # trade when storage/network is the scarce resource (the network
