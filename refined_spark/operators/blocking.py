@@ -35,6 +35,18 @@ from refined_spark.functions.hashing import (
     minhash_sig_from_base_col,
 )
 
+# persisted intermediates of the two-channel fallback join, released via
+# release_cache() — same contract as coref/pipeline (the storeless analog
+# of the snapshot a StageStore run would commit between the channels)
+_PERSISTED: list = []
+
+
+def release_cache() -> None:
+    """Unpersist every intermediate this module cached. Call after the
+    candidates frame is materialized downstream."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
 
 def _banded(df: DataFrame, text_col: str, k: int, num_hashes: int, bands: int) -> DataFrame:
     """+ (band_id, band_hash) per input row, one row per band. Band-key
@@ -159,15 +171,28 @@ def candidate_join_with_lsh_fallback(
     """Two-channel blocking: exact alias join first; mentions with no exact
     dictionary hit fall back to the LSH channel. Exact hits never pay the
     fuzzy path, and the union keeps one row per (mention, qcode) with the
-    exact channel winning."""
+    exact channel winning.
+
+    Both channel outputs are persisted (released via release_cache): the
+    exact frame feeds three subtrees of the final plan (hits, the missed
+    set inside the fuzzy channel, the missed set behind the still-null
+    anti-join) and the fuzzy frame feeds two (its mention_id set and the
+    union). Spark does no common-subexpression reuse across a self-union,
+    so without a snapshot between the channels each subtree — including
+    the dictionary string-kernel pass and the band join — re-executes
+    once per consumer. A StageStore run gets the same cut for free from
+    its committed candidates snapshot; persist is the storeless analog
+    (same contract as the pipeline's mentions persist)."""
     from refined_spark.operators.pem import candidate_join
 
-    exact = candidate_join(mentions, pem, entity_meta=entity_meta)
+    exact = candidate_join(mentions, pem, entity_meta=entity_meta).persist()
+    _PERSISTED.append(exact)
     mention_cols = list(mentions.columns)
     missed = exact.where(F.col("qcode").isNull()).select(*mention_cols)
     fuzzy = lsh_candidate_join(
         missed, pem, entity_meta=entity_meta, **lsh_kwargs
-    )
+    ).persist()
+    _PERSISTED.append(fuzzy)
     hits = exact.where(F.col("qcode").isNotNull())
     # mentions that stay missed in BOTH channels keep their null row
     null_typed = {

@@ -36,11 +36,13 @@ _PERSISTED: list = []
 
 
 def release_cache() -> None:
+    from refined_spark.operators import blocking as _blocking
     from refined_spark.operators import coref as _coref
 
     while _PERSISTED:
         _PERSISTED.pop().unpersist()
     _coref.release_cache()
+    _blocking.release_cache()
 
 
 def build_mentions(documents: DataFrame) -> DataFrame:
@@ -123,6 +125,10 @@ def run(
                 mentions, pem_df, entity_meta=entity_meta
             ),
         )
+        if store is not None:
+            # the candidates snapshot is committed — the two channel
+            # caches inside the fallback join are dead weight from here
+            blocking.release_cache()
     else:
         candidates = stage(
             "candidates",
