@@ -55,13 +55,22 @@ def ordered_pairs_col(ds: Column) -> Column:
 
 
 def exact_duplicates(documents: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     prefix_chars: int | None = None) -> DataFrame:
     """Groups of byte-identical (normalized) documents:
     (content_hash, n_dups, doc_ids sorted, keeper = min doc_id).
-    Only hashes shuffle, never text."""
+    Only hashes shuffle, never text.
+
+    prefix_chars=N hashes only the first N normalized characters —
+    prefix dedup, the standard variant for corpora whose duplicates share
+    openings but diverge in trailing boilerplate (and the variant that
+    actually fires on corpora with no byte-identical full documents)."""
+    norm = normalized_text_col(F.col(text_col))
+    if prefix_chars is not None:
+        norm = F.substring(norm, 1, prefix_chars)
     h = documents.select(
         F.col(id_col).alias("doc_id"),
-        md5_hash64_col(normalized_text_col(F.col(text_col))).alias("content_hash"),
+        md5_hash64_col(norm).alias("content_hash"),
     )
     return (
         h.groupBy("content_hash")

@@ -295,15 +295,25 @@ SELECT a.child, b.parent AS ancestor FROM edges a JOIN edges b ON a.parent = b.c
 
 
 # ----------------------------------------------------------------- dedup ops
+# 64-char prefix dedup: the test corpora contain no byte-identical FULL
+# documents at sf0.01 (rounds 1-4 compared 0==0 rows — a vacuous gate), but
+# 22 real prefix-collision groups exist there (227 at sf0.1), so the prefix
+# variant makes the scoreboard row compare real data while the operator
+# keeps full-document hashing as its default.
+_DEDUP_PREFIX = 64
+
+
 def q_dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return dedup.exact_duplicates(d).select(
+    return dedup.exact_duplicates(d, prefix_chars=_DEDUP_PREFIX).select(
         "content_hash", "n_dups", F.col("keeper").cast("long").alias("keeper")
     )
 
 
 _NORM_TEXT_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
-_CONTENT_HASH_SQL = MD5_HASH64_SQL.format(col=_NORM_TEXT_SQL)
+_CONTENT_HASH_SQL = MD5_HASH64_SQL.format(
+    col=f"substr({_NORM_TEXT_SQL}, 1, {_DEDUP_PREFIX})"
+)
 SQL_DEDUP_EXACT = f"""
 WITH h AS (
   SELECT doc_id,
@@ -730,13 +740,23 @@ def _sql_lsh_bucket(planes: list[list[float]], emb: str) -> str:
 
 _NEARDUP_BITS = 6
 _EMB_DIM = 64
+# 0.35, not the 0.9 a production near-dup job would use: the test-corpus
+# embeddings are near-orthogonal (max pairwise cosine 0.51 at sf0.01, 0.60
+# at sf0.1), so a 0.9 threshold compared 0==0 rows — a vacuous gate. 0.35
+# sits in the corpus's actual near-pair range: 11 single-rotation / 46
+# multi-rotation pairs at sf0.01, 264/709 at sf0.1, all oracle-checked by
+# value. The planted-pair recall tests in tests/test_ann.py carry the
+# high-threshold semantics.
+_NEARDUP_THRESHOLD = 0.35
 
 
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicates, blocked by random-hyperplane LSH
     bucket (the pairs-at-scale path: bucket equi-join, no cross join)."""
     e = _t(spark, sf_dir, "embeddings")
-    return ann.embedding_near_dups(e, dim=_EMB_DIM, threshold=0.9, bits=_NEARDUP_BITS)
+    return ann.embedding_near_dups(
+        e, dim=_EMB_DIM, threshold=_NEARDUP_THRESHOLD, bits=_NEARDUP_BITS
+    )
 
 
 def _sql_embedding_neardup() -> str:
@@ -757,7 +777,7 @@ WITH v AS (
   FROM v a JOIN v b USING (bucket)
   WHERE a.vec_id < b.vec_id
 )
-SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.9
+SELECT id_a, id_b, cos FROM pairs WHERE cos >= {_NEARDUP_THRESHOLD}
 """
 
 
@@ -774,7 +794,7 @@ def q_embedding_neardup_multirot(spark, sf_dir):
     on top of q_embedding_neardup's single-rotation trade."""
     e = _t(spark, sf_dir, "embeddings")
     return ann.embedding_near_dups(
-        e, dim=_EMB_DIM, threshold=0.9, bits=_NEARDUP_BITS,
+        e, dim=_EMB_DIM, threshold=_NEARDUP_THRESHOLD, bits=_NEARDUP_BITS,
         rotations=_NEARDUP_ROTATIONS,
     )
 
@@ -810,7 +830,7 @@ WITH vb AS (
   JOIN embeddings ea ON ea.vec_id = p.id_a
   JOIN embeddings eb ON eb.vec_id = p.id_b
 )
-SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.9
+SELECT id_a, id_b, cos FROM scored WHERE cos >= {_NEARDUP_THRESHOLD}
 """
 
 
