@@ -37,7 +37,11 @@ from refined_spark.functions.hashing import (
 
 # persisted intermediates of the two-channel fallback join, released via
 # release_cache() — same contract as coref/pipeline (the storeless analog
-# of the snapshot a StageStore run would commit between the channels)
+# of the snapshot a StageStore run would commit between the channels).
+# Callers that need per-run release (e.g. the pipeline's eager release
+# after a candidates snapshot commit) pass their own cache_registry to
+# candidate_join_with_lsh_fallback instead of touching this global, so a
+# concurrent storeless run in the same SparkSession keeps its caches.
 _PERSISTED: list = []
 
 
@@ -166,6 +170,7 @@ def candidate_join_with_lsh_fallback(
     mentions: DataFrame,
     pem: DataFrame,
     entity_meta: DataFrame | None = None,
+    cache_registry: list | None = None,
     **lsh_kwargs,
 ) -> DataFrame:
     """Two-channel blocking: exact alias join first; mentions with no exact
@@ -182,17 +187,23 @@ def candidate_join_with_lsh_fallback(
     the dictionary string-kernel pass and the band join — re-executes
     once per consumer. A StageStore run gets the same cut for free from
     its committed candidates snapshot; persist is the storeless analog
-    (same contract as the pipeline's mentions persist)."""
+    (same contract as the pipeline's mentions persist).
+
+    cache_registry: where the two persist handles are registered. Default
+    is the module list drained by release_cache(); a caller that wants to
+    release exactly the frames THIS call created (and not a concurrent
+    run's) passes its own list and unpersists it itself."""
     from refined_spark.operators.pem import candidate_join
 
+    registry = _PERSISTED if cache_registry is None else cache_registry
     exact = candidate_join(mentions, pem, entity_meta=entity_meta).persist()
-    _PERSISTED.append(exact)
+    registry.append(exact)
     mention_cols = list(mentions.columns)
     missed = exact.where(F.col("qcode").isNull()).select(*mention_cols)
     fuzzy = lsh_candidate_join(
         missed, pem, entity_meta=entity_meta, **lsh_kwargs
     ).persist()
-    _PERSISTED.append(fuzzy)
+    registry.append(fuzzy)
     hits = exact.where(F.col("qcode").isNotNull())
     # mentions that stay missed in BOTH channels keep their null row
     null_typed = {

@@ -119,16 +119,27 @@ def run(
         # MinHash-LSH bands over mention n-grams for the exact-miss tail
         from refined_spark.operators import blocking
 
+        # per-run registry: the eager release below must drop exactly the
+        # two channel caches THIS run created — module-level release_cache
+        # would also unpersist a concurrent storeless run's caches
+        blocking_caches: list = []
         candidates = stage(
             "candidates",
             lambda: blocking.candidate_join_with_lsh_fallback(
-                mentions, pem_df, entity_meta=entity_meta
+                mentions, pem_df, entity_meta=entity_meta,
+                cache_registry=blocking_caches,
             ),
         )
         if store is not None:
             # the candidates snapshot is committed — the two channel
             # caches inside the fallback join are dead weight from here
-            blocking.release_cache()
+            while blocking_caches:
+                blocking_caches.pop().unpersist()
+        else:
+            # storeless: keep them alive until release_cache(), same
+            # lifetime as the module default
+            blocking._PERSISTED.extend(blocking_caches)
+            blocking_caches.clear()
     else:
         candidates = stage(
             "candidates",
