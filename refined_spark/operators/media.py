@@ -66,16 +66,62 @@ def parse_png_header(payload: bytes) -> tuple[int, int] | None:
     return width, height
 
 
+_JPEG_SOI = b"\xff\xd8"
+# SOFn markers carry the frame header (dims); C4=DHT, C8=JPG, CC=DAC are
+# NOT frame headers despite living in the C0-CF range (JPEG T.81 B.1.1.3)
+_JPEG_NON_SOF = {0xC4, 0xC8, 0xCC}
+
+
+def parse_jpeg_header(payload: bytes | None) -> tuple[int, int] | None:
+    """REAL (pure-Python, no external libs) JPEG dimension decode: walk the
+    marker-segment stream from SOI, skipping APPn/COM/DQT/DHT/... segments
+    by their big-endian length fields, until the first SOFn frame header
+    (baseline C0, extended C1, progressive C2, lossless C3, and the
+    differential/arithmetic variants C5-CF minus DHT/JPG/DAC), whose body
+    is precision(1) + height(2 BE) + width(2 BE) (ITU T.81 §B.2.2).
+    Returns (width, height), or None for non-JPEG / truncated payloads
+    (the caller falls back to the stub)."""
+    if payload is None or len(payload) < 4 or payload[:2] != _JPEG_SOI:
+        return None
+    i, n = 2, len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None  # desynced — not a marker where one must be
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte (T.81 B.1.1.2) — resync
+            i += 1
+            continue
+        # standalone markers (no length field)
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF: give up
+            return None
+        seg_len = int.from_bytes(payload[i + 2:i + 4], "big")
+        if seg_len < 2:
+            return None
+        if 0xC0 <= marker <= 0xCF and marker not in _JPEG_NON_SOF:
+            if i + 9 > n:
+                return None
+            height = int.from_bytes(payload[i + 5:i + 7], "big")
+            width = int.from_bytes(payload[i + 7:i + 9], "big")
+            if width <= 0 or height <= 0:
+                return None
+            return width, height
+        i += 2 + seg_len
+    return None
+
+
 def _decode_stub(payload: bytes | None, media_ref: str) -> dict:
-    """Decode one media payload. PNG dimensions are decoded FOR REAL
-    (parse_png_header — pure-Python IHDR parse), so resize_plan downstream
-    computes from actual pixel dimensions. Everything else — non-PNG
-    formats, and the feature vector (a model's job, not a codec's) — is a
-    deterministic disclosed stand-in derived from the payload/ref hash.
-    Replace with PIL/ffmpeg calls in production — raise if someone ships
-    the stub path: set REFINED_SPARK_ALLOW_MEDIA_STUB=0 to turn the
-    non-PNG fallback into NotImplementedError (PNG decode still works: it
-    is real)."""
+    """Decode one media payload. PNG and JPEG dimensions are decoded FOR
+    REAL (parse_png_header / parse_jpeg_header — pure-Python IHDR parse and
+    SOFn marker scan), so resize_plan downstream computes from actual pixel
+    dimensions. Everything else — other formats, and the feature vector (a
+    model's job, not a codec's) — is a deterministic disclosed stand-in
+    derived from the payload/ref hash. Replace with PIL/ffmpeg calls in
+    production — raise if someone ships the stub path: set
+    REFINED_SPARK_ALLOW_MEDIA_STUB=0 to turn the fallback into
+    NotImplementedError (PNG/JPEG decode still works: it is real)."""
     import os
 
     h = (
@@ -84,11 +130,13 @@ def _decode_stub(payload: bytes | None, media_ref: str) -> dict:
         else hashlib.md5(payload).digest()
     )
     feats = [((h[i % 16] / 255.0) * 2 - 1) for i in range(FEATURE_DIM)]
-    png = parse_png_header(payload) if payload is not None else None
-    if png is not None:
-        return {"width": png[0], "height": png[1], "features": feats}
+    if payload is not None:
+        dims = parse_png_header(payload) or parse_jpeg_header(payload)
+        if dims is not None:
+            return {"width": dims[0], "height": dims[1], "features": feats}
     if os.environ.get("REFINED_SPARK_ALLOW_MEDIA_STUB", "1") != "1":
-        raise NotImplementedError("non-PNG media decoding requires PIL/ffmpeg")
+        raise NotImplementedError(
+            "non-PNG/JPEG media decoding requires PIL/ffmpeg")
     return {
         "width": 64 + h[0] % 192,
         "height": 64 + h[1] % 192,
