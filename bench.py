@@ -215,6 +215,34 @@ def main_bench() -> None:
             vs.append(run_er_pipeline(spark, corpus, **kw)[0])
         variants[vname] = round(min(vs), 3)
 
+    # warm-resume canary: a store-backed run killed after the `candidates`
+    # snapshot, then rerun — the rerun must pay only the remaining stages
+    # (coref/resolved/clusters + final join) plus snapshot reads, never the
+    # mention explode or the blocking join again. Published next to the
+    # storeless er_pipeline number so the resume discount is a measured
+    # fact, not a snapshots.py docstring claim.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from refined_spark.plans.snapshots import StageStore
+
+    store_root = _tempfile.mkdtemp(prefix="er_resume_",
+                                   dir="/dev/shm" if os.path.isdir("/dev/shm")
+                                   else None)
+    try:
+        store = StageStore(store_root)
+        run_er_pipeline(spark, corpus, store=store)  # full run, all commits
+        for st in ("coref", "scored", "resolved", "clusters"):
+            store.reset(st)  # = killed right after the candidates commit
+        for _ in range(30):
+            if _busy_frac() <= MAX_BENCH_BUSY:
+                break
+            time.sleep(4)
+        variants["er_pipeline_resume"] = round(
+            run_er_pipeline(spark, corpus, store=store)[0], 3)
+    finally:
+        _shutil.rmtree(store_root, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -323,6 +351,18 @@ MAX_BENCH_BUSY = float(os.environ.get("REFINED_SPARK_MAX_BENCH_BUSY", "0.15"))
 # requeued (see stage_run) — 0.5 cores of steal on a 32-core arm is a ~10%+
 # wall-clock bias in practice because steal bursts hit the critical path
 MAX_STEAL_CORES = float(os.environ.get("REFINED_SPARK_MAX_STEAL_CORES", "0.5"))
+# guest-kernel-storm gate (round 5): this VM intermittently multiplies the
+# CPU bill of IDENTICAL work 3-6x in minutes-long windows — roving across
+# stages and runs, sys-dominated, at steal ~ 0 (jobs/profile_inflation.py:
+# the same stage body measured 28 s/383 CPU-s and 63 s/893 CPU-s with 637
+# sys-CPU-s across consecutive full-profile runs; a consecutive-rep pair
+# within one run measured 75.6 s/591 sys vs 27.9 s/14.7 sys). The sys
+# explosion is the machine-readable marker: clean runs show sys <= ~7% of
+# the arm width even on UDF-heavy stages, storms 25-70%. A sample whose
+# machine-wide sys-core average exceeds this fraction of the arm width
+# (plus a 0.5-core floor for tmpfs-shuffle background) is requeued exactly
+# like a stolen sample — it measures the host, not the job.
+MAX_SYS_FRAC = float(os.environ.get("REFINED_SPARK_MAX_SYS_FRAC", "0.20"))
 
 
 def _busy_frac(interval: float = 1.0) -> float:
@@ -495,17 +535,28 @@ def stage_run(corpus: str, prep: str, stage: str, cores: int,
         # a run that lost >MAX_STEAL_CORES vCPUs to the hypervisor is
         # contaminated BY CONSTRUCTION — requeue it (bounded retries; if
         # the host stays loud, the sample is kept and the steal column in
-        # BENCH.md shows exactly how loud)
-        if stolen_cores > MAX_STEAL_CORES and attempts < max_attempts:
+        # BENCH.md shows exactly how loud). Same treatment for samples
+        # caught inside a guest-kernel sys storm (see MAX_SYS_FRAC): both
+        # markers measure the box, not the job, and both are published
+        # per-sample so the gating is auditable.
+        if attempts < max_attempts and (
+            stolen_cores > MAX_STEAL_CORES
+            or sys_list[-1] > MAX_SYS_FRAC * cores + 0.5
+        ):
             continue
-        secs.append(dt)
-    best = min(secs)
+        secs.append((dt, busy_list[-1], sys_list[-1]))
+    best, best_busy, best_sys = min(secs)
     print(json.dumps({"stage": stage, "cores": cores, "sec": round(best, 2),
-                      "all_secs": [round(s, 2) for s in sorted(secs)],
+                      "all_secs": [round(s, 2) for s, _, _ in sorted(secs)],
                       "loadavg_at_start": loads,
                       "steal_cores": steals,
                       "busy_cores": busy_list,
                       "sys_cores": sys_list,
+                      # CPU accounting of the MIN-wall sample (paired, not
+                      # positional): wall efficiency can hide CPU inflation
+                      # — these columns expose it per arm (round-4 ask #3)
+                      "best_busy_cores": best_busy,
+                      "best_sys_cores": best_sys,
                       "items_per_sec": round(n_items / best, 1),
                       "n_items": n_items}))
     spark.stop()
@@ -581,15 +632,26 @@ def main_scaling() -> None:
         return (results[(stage, hi)]["items_per_sec"]
                 / results[(stage, lo)]["items_per_sec"]) / 4.0
 
+    def cpu_cols(r: dict) -> str:
+        """busy/sys CPU-seconds of the min-wall sample — wall efficiency
+        can hide CPU inflation (round-4 finding); these make it visible."""
+        if "best_busy_cores" not in r:
+            return " | "
+        return (f"{r['best_busy_cores'] * r['sec']:,.0f} | "
+                f"{r['best_sys_cores'] * r['sec']:,.0f}")
+
     def row(stage: str, unit: str, pair: tuple[int, int]) -> str:
         lo, hi = pair
         rl, rh = results.get((stage, lo)), results.get((stage, hi))
         if rl is None or rh is None:
-            return f"| {stage} | (pair incomplete) | {lo} | | | {hi} | | | {unit} | |"
+            return (f"| {stage} | (pair incomplete) | {lo} | | | | | "
+                    f"{hi} | | | | | {unit} | |")
         return (
             f"| {stage} | {rl['n_items']:,} | {lo} | {rl['sec']:.2f} | "
-            f"{rl['items_per_sec']:,.0f} | {hi} | {rh['sec']:.2f} | "
-            f"{rh['items_per_sec']:,.0f} | {unit} | **{eff(stage, pair):.3f}** |"
+            f"{rl['items_per_sec']:,.0f} | {cpu_cols(rl)} | "
+            f"{hi} | {rh['sec']:.2f} | "
+            f"{rh['items_per_sec']:,.0f} | {cpu_cols(rh)} | "
+            f"{unit} | **{eff(stage, pair):.3f}** |"
         )
 
     def eff_str(stage: str, pair: tuple[int, int]) -> str:
@@ -826,9 +888,10 @@ def _write_bench_md(results, eff, row, eff_str, GATE_PAIR, WIDE_PAIR) -> None:
         "",
         f"## Gated stages + e2e at N={GATE_PAIR[0]} -> 4N={GATE_PAIR[1]} cores",
         "",
-        "| stage | input items | N cores | N s | N thr | 4N cores | 4N s |"
-        " 4N thr | unit | efficiency |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "| stage | input items | N cores | N s | N thr | N busy-cpu-s |"
+        " N sys-cpu-s | 4N cores | 4N s | 4N thr | 4N busy-cpu-s |"
+        " 4N sys-cpu-s | unit | efficiency |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|",
         *rows,
         "",
         f"**scoring efficiency = {eff_str('scoring', GATE_PAIR)}, clustering"
@@ -848,9 +911,10 @@ def _write_bench_md(results, eff, row, eff_str, GATE_PAIR, WIDE_PAIR) -> None:
         "",
         "## Context rows (global single-job CC; 8 -> 32 where measured)",
         "",
-        "| stage | input items | N cores | N s | N thr | 4N cores | 4N s |"
-        " 4N thr | unit | efficiency |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "| stage | input items | N cores | N s | N thr | N busy-cpu-s |"
+        " N sys-cpu-s | 4N cores | 4N s | 4N thr | 4N busy-cpu-s |"
+        " 4N sys-cpu-s | unit | efficiency |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|",
         *ctx_rows,
         "",
         "Round-3 history for the wide pair (same harness, pre-sharding,",

@@ -117,6 +117,7 @@ def main() -> None:
     fit = _fit(rows)
     with open(RESULT_PATH, "w") as f:
         json.dump({"rows": rows, "fit": fit}, f, indent=1)
+        f.write("\n")
     print(json.dumps({"rows": rows, "fit": fit}))
 
 

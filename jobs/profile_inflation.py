@@ -17,8 +17,11 @@ rep then `reps` measured reps per stage, min-wall rep reported with its
 own CPU columns, all samples retained.
 
 Usage:
-  taskset -c 0-3  python jobs/profile_inflation.py <corpus> 4  [reps]
-  taskset -c 0-15 python jobs/profile_inflation.py <corpus> 16 [reps]
+  taskset -c 0-3  python jobs/profile_inflation.py <corpus> 4  [reps] [stage,stage,...]
+  taskset -c 0-15 python jobs/profile_inflation.py <corpus> 16 [reps] [stage,stage,...]
+
+The optional stage list re-measures only those stages (earlier stages
+still execute once, unmeasured, to produce the parquet inputs).
 
 Appends one JSON line per run to jobs/profile_inflation_result.jsonl.
 """
@@ -38,6 +41,56 @@ from refined_spark.session import get_spark  # noqa: E402
 
 RESULT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "profile_inflation_result.jsonl")
+
+
+def calibrate_cpu(n: int = 200_000) -> float:
+    """Single-thread fixed-work calibration: MB/s of sha256 over a 4 KB
+    buffer, n rounds (~0.3 s quiet). Logged before every stage sample — if
+    this rate collapses in the same windows where identical Spark work
+    triples its CPU bill, the slowdown is the BOX (host contention
+    throttling delivered cycles), not the engine."""
+    import hashlib
+    buf = b"x" * 4096
+    t0 = time.time()
+    h = hashlib.sha256()
+    for _ in range(n):
+        h.update(buf)
+    dt = time.time() - t0
+    return round(n * 4096 / 1024 / 1024 / dt, 1)
+
+
+def jvm_gc_seconds(spark) -> float:
+    """Cumulative GC time of the local-mode JVM (driver == executors) from
+    the GarbageCollector MXBeans — the delta across a stage separates 'GC
+    grew superlinearly with task concurrency' from 'the kernels got
+    slower'."""
+    beans = (spark.sparkContext._jvm.java.lang.management.ManagementFactory
+             .getGarbageCollectorMXBeans())
+    return sum(b.getCollectionTime() for b in beans) / 1000.0
+
+
+def proc_class_cpu() -> dict[str, float]:
+    """Cumulative (utime+stime) CPU seconds by process class: the Spark
+    JVM ('java') vs the pyspark daemon/workers ('python'). Machine-wide
+    scan is fine — the profiler owns the box. Splits each stage's busy
+    CPU into JVM-side vs Python-worker-side inflation."""
+    tck = os.sysconf("SC_CLK_TCK")
+    out = {"java": 0.0, "python": 0.0}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            comm = open(f"/proc/{pid}/comm").read().strip()
+        except OSError:
+            continue
+        cpu = (int(parts[11]) + int(parts[12])) / tck  # utime+stime
+        if comm == "java":
+            out["java"] += cpu
+        elif comm.startswith("python"):
+            out["python"] += cpu
+    return out
 
 
 def main() -> None:
@@ -105,24 +158,39 @@ def main() -> None:
     stages = [("mentions", s_mentions), ("candidates", s_candidates),
               ("coref", s_coref), ("ctx", s_ctx), ("fused_resolve", s_fused),
               ("cc", s_cc), ("final_join", s_join)]
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 
     out = {"corpus": corpus, "cores": cores, "reps": reps, "stages": {}}
     for name, body in stages:
+        if only is not None and name not in only:
+            body()  # unmeasured: produce the parquet input for later stages
+            _unpersist_all(spark)
+            continue
         body()  # warm: codegen compile + writes the stage output once
         _unpersist_all(spark)
         samples = []
         for _ in range(reps):
+            cal0 = calibrate_cpu()
             st0 = _cpu_steal_seconds()
             b0, s0 = _cpu_busy_sys_seconds()
+            g0 = jvm_gc_seconds(spark)
+            c0 = proc_class_cpu()
             t0 = time.time()
             body()
             dt = time.time() - t0
             b1, s1 = _cpu_busy_sys_seconds()
+            g1 = jvm_gc_seconds(spark)
+            c1 = proc_class_cpu()
             samples.append({
                 "wall": round(dt, 2),
                 "busy_cpu_s": round(b1 - b0, 1),
                 "sys_cpu_s": round(s1 - s0, 1),
+                "gc_s": round(g1 - g0, 1),
+                "jvm_cpu_s": round(c1["java"] - c0["java"], 1),
+                "py_cpu_s": round(c1["python"] - c0["python"], 1),
                 "steal_cores": round((_cpu_steal_seconds() - st0) / dt, 2),
+                "cal_mbps_before": cal0,
+                "cal_mbps_after": calibrate_cpu(),
             })
             _unpersist_all(spark)
         best = min(samples, key=lambda s: s["wall"])

@@ -1687,6 +1687,73 @@ FROM documents
 """
 
 
+# --------------------------------------- incremental resolve (streaming)
+
+def q_incremental_resolve(spark, sf_dir):
+    """Incremental ER via Structured Streaming (streaming/incremental.py):
+    resolve a base corpus, append a delta batch, and assert the
+    incrementally-built resolved table EQUALS a full batch recompute over
+    base+delta on (mention_id, doc_id, qcode, score) — per-doc resolution
+    is batch-independent (coref propagates within a document), so the two
+    must match row-for-row; this query RAISES on any mismatch, making the
+    driver row a real invariant check, not a smoke test. cluster_id is
+    excluded by design: clusters are batch-refreshed (module docstring).
+
+    No oracle_sql: foreachBatch streaming over the fused scoring kernel is
+    not ANSI-SQL-expressible — the driver records the weaker rows-only
+    check; tests/test_streaming.py + the in-query assertion carry the
+    equality evidence.
+
+    Inputs are a deterministic fixture corpus (fixtures.generate, seed 11;
+    sf_dir is unused — same precedent as the eval-set reader queries)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq_mod
+
+    from refined_spark import fixtures
+    from refined_spark.plans import pipeline
+    from refined_spark.streaming.incremental import incremental_resolve
+
+    tmp = tempfile.mkdtemp(prefix="refined_spark_incr_")
+    try:
+        paths = fixtures.generate(tmp, n_docs=90, n_entities=30, seed=11)
+        load = lambda k: spark.read.parquet(paths[k])
+        pem_df, meta = load("pem"), load("entity_meta")
+        emb, hq = load("entity_embeddings"), load("human_qcodes")
+
+        # split documents 2:1 into a base file and a later delta file
+        t = pq_mod.read_table(paths["documents"])
+        cut = (2 * t.num_rows) // 3
+        in_dir = f"{tmp}/stream_in"
+        out_dir, ckpt = f"{tmp}/stream_out", f"{tmp}/ckpt"
+        import os as _os
+        _os.makedirs(in_dir)
+        pq_mod.write_table(t.slice(0, cut), f"{in_dir}/base.parquet")
+        incremental_resolve(spark, in_dir, out_dir, ckpt,
+                            pem_df, meta, emb, hq).awaitTermination()
+        pq_mod.write_table(t.slice(cut), f"{in_dir}/delta.parquet")
+        incremental_resolve(spark, in_dir, out_dir, ckpt,
+                            pem_df, meta, emb, hq).awaitTermination()
+
+        proj = lambda df: df.select(
+            "mention_id", "doc_id", "qcode", F.round("score", 6).alias("score"))
+        incr = sorted(map(tuple, proj(
+            spark.read.parquet(out_dir)).collect()))
+        full = sorted(map(tuple, proj(pipeline.run(
+            spark, load("documents"), pem_df, meta, emb, hq)).collect()))
+        pipeline.release_cache()
+        if incr != full:
+            diff = [(a, b) for a, b in zip(incr, full) if a != b][:5]
+            raise AssertionError(
+                f"incremental != full recompute: {len(incr)} vs {len(full)} "
+                f"rows, first diffs {diff}")
+        return spark.createDataFrame(
+            incr, "mention_id string, doc_id string, qcode string, score double")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1727,6 +1794,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_correction": q_span_correction,
     "date_range_split": q_date_range_split,
     "levenshtein_sim": q_levenshtein_sim,
+    "incremental_resolve": q_incremental_resolve,
 }
 
 ORACLES: dict[str, str] = {

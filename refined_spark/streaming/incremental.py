@@ -81,6 +81,10 @@ def incremental_resolve(
             spark, batch_df, pem_df, entity_meta, entity_embeddings, human_qcodes
         )
         resolved.write.mode("append").parquet(output_dir)
+        # the batch output is on disk — drop the run's persisted
+        # intermediates so a long-lived stream doesn't accumulate one
+        # cache set per micro-batch
+        pipeline.release_cache()
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)
