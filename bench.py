@@ -731,15 +731,22 @@ def _amortize_lines() -> list[str]:
         f"{fit.get('scalable_s', '?')} s; the fit PREDICTS",
         f"{pred_txt}",
         "— each measured below with the",
-        "identical steal-gated harness. Efficiency rising with corpus",
-        "size on the predicted curve is the measurable form of the",
+        "identical steal- AND storm-gated harness (round 5: samples",
+        "caught inside a guest-kernel sys storm are requeued like stolen",
+        "ones; see the root-cause section below). Efficiency rising with",
+        "corpus size on the predicted curve is the measurable form of the",
         "amortization claim (a serial stage growing with n would",
         "flatten it instead). The busy/sys columns are /proc/stat",
         "deltas across each measured run: busy below the core count is",
         "the fixed serial fraction made visible (Amdahl cross-check:",
         "F/T of the wall with 1 busy core predicts the deficit), and",
         "sys is guest-kernel overhead — the box artifact arm, not the",
-        "job's:",
+        "job's. Round-4 history: the UNGATED harness measured efficiency",
+        "FALLING 0.751 -> 0.646 -> 0.548 across 1x/3x/9x with the 16-core",
+        "arm billing ~63% more CPU-seconds — root-caused in round 5 to",
+        "the roving storms (the wide arm's longer total exposure and 4x",
+        "per-storm bill), not to the engine; the per-stage clean-minimum",
+        "CPU matrix below shows the genuine concurrency cost is ~1.1x:",
         "",
         "| docs | entities | 4-core s | 16-core s | eff | samples (4c / 16c) | steal (4c / 16c) | busy (4c / 16c) | sys (4c / 16c) |",
         "|---|---|---|---|---|---|---|---|---|",
@@ -752,6 +759,93 @@ def _amortize_lines() -> list[str]:
             for r in am.get("rows", [])
         ],
         *_amortize_verdict(am),
+    ]
+
+
+INFLATION_HEADING = ("## Wide-arm CPU inflation: root cause"
+                     " (jobs/profile_inflation.py)")
+
+
+def _inflation_lines() -> list[str]:
+    """BENCH.md section for the round-5 work-inflation investigation: the
+    per-stage busy/sys CPU matrix at 4 vs 16 cores on the 3x corpus, with
+    per-stage CLEAN minima vs storm maxima across repeated full profiles.
+    Regenerated from jobs/profile_inflation_result.jsonl so the table can
+    never drift from the data."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "jobs",
+                        "profile_inflation_result.jsonl")
+    if not os.path.exists(path):
+        return []
+    runs = []
+    with open(path) as f:
+        for line in f:
+            if line.strip():
+                runs.append(json.loads(line))
+    by = {4: {}, 16: {}}
+    for r in runs:
+        for st, d in r["stages"].items():
+            by.setdefault(r["cores"], {}).setdefault(st, []).extend(
+                s for s in d["all"])
+    stages = [s for s in ("mentions", "candidates", "coref", "ctx",
+                          "fused_resolve", "cc", "final_join")
+              if s in by.get(4, {}) and s in by.get(16, {})]
+    if not stages:
+        return []
+    rows = []
+    tot4 = tot16c = tot16s = 0.0
+    for st in stages:
+        c4 = min(s["busy_cpu_s"] for s in by[4][st])
+        sys4 = min(s["sys_cpu_s"] for s in by[4][st])
+        c16 = min(s["busy_cpu_s"] for s in by[16][st])
+        c16max = max(s["busy_cpu_s"] for s in by[16][st])
+        smax = max(s["sys_cpu_s"] for s in by[16][st])
+        tot4 += c4
+        tot16c += c16
+        tot16s += c16max
+        rows.append(
+            f"| {st} | {c4:,.0f} | {sys4:,.0f} | {c16:,.0f} |"
+            f" {c16 / c4:.2f}x | {c16max:,.0f} | {smax:,.0f} |")
+    rows.append(
+        f"| **total** | **{tot4:,.0f}** | | **{tot16c:,.0f}** |"
+        f" **{tot16c / tot4:.2f}x** | **{tot16s:,.0f}** | |")
+    return [
+        "",
+        INFLATION_HEADING,
+        "",
+        "Round 4 measured the 16-core e2e arm burning ~63% more CPU-seconds",
+        "than the 4-core arm on identical input at steal ~ 0 and flagged it",
+        "as work inflation. Round 5 cut the pipeline at every stage",
+        "boundary (parquet in /dev/shm between stages, identical",
+        "scale-profile config at both widths, 3x corpus) and measured each",
+        "stage's machine-wide busy/sys CPU across repeated full profiles.",
+        "Verdict: the genuine 4 -> 16 inflation is only the **total row",
+        "below (~1.1x)** — everything beyond it is **intermittent",
+        "guest-kernel storms**: minutes-long windows in which the identical",
+        "stage body bills 3-6x the CPU, roving across stages and runs",
+        "(candidates measured 161 / 383 / 893 busy CPU-s in three runs;",
+        "consecutive reps inside one run measured 75.6 s wall with 591",
+        "sys-CPU-s vs 27.9 s with 15), sys-dominated, at steal ~ 0, with",
+        "no dependence on engine state. A 16-vCPU mask both multiplies a",
+        "storm's bill (4x the spinning vCPUs) and, under lock-holder",
+        "preemption, likely triggers it more often — a single-guest-VM",
+        "artifact that 4 separate 4-core executors on a real cluster do",
+        "not share.",
+        "",
+        "| stage | 4c busy CPU-s (min) | 4c sys | 16c busy (clean min) |"
+        " clean inflation | 16c busy (storm max) | 16c sys (storm max) |",
+        "|---|---|---|---|---|---|---|",
+        *rows,
+        "",
+        "Consequences: (a) the bench/scaling harness now REQUEUES samples",
+        "whose machine-wide sys-core average marks a storm",
+        "(MAX_SYS_FRAC gate in stage_run, published per-sample like the",
+        "steal gate); (b) long wide-arm runs integrate storm exposure that",
+        "short narrow-arm runs dodge, so storm-window wall-clock",
+        "efficiencies are LOWER BOUNDS biased against the wide arm —",
+        "the clean-minimum CPU matrix above is the engine's true",
+        "concurrency cost; (c) the residual ~1.1x is shared-box physics",
+        "(one memory subsystem, one JVM heap, 4x GC threads) that",
+        "separate executors do not pay.",
     ]
 
 
@@ -924,6 +1018,7 @@ def _write_bench_md(results, eff, row, eff_str, GATE_PAIR, WIDE_PAIR) -> None:
         "one clean 4-core sample — superseded by the table above).",
         *ab_lines,
         *amortize_lines,
+        *_inflation_lines(),
         "",
         "## Why the gate pair is 4 -> 16 cores on this box",
         "",
