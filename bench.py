@@ -887,13 +887,19 @@ def _lsh_lines() -> list[str]:
         f"| lsh channel, full (jw/lev recompute tail) | {r['lsh_full']} |",
         f"| two-channel fallback join, everything | {r['fallback_join_full']} |",
         "",
-        f"Split: banding+joining the mention side costs ~{band_mention} s,",
-        f"the jw/lev recompute pandas-UDF tail ~{jw_tail} s on top of the",
-        "no-feature channel. The recompute stays (correctness: a typo'd",
-        "mention must not inherit the clean surface's near-perfect jw —",
-        "lsh_candidate_join docstring), and the premium is paid only by",
-        "the exact-miss tail, which the bench forces wide open; a real",
-        "corpus's tail is a small fraction of mentions.",
+        f"Split: banding+joining the mention side costs ~{band_mention} s",
+        f"and Jaccard verification the rest; the jw/lev recompute tail",
+        f"costs ~{jw_tail} s — effectively ZERO here, because on this",
+        "corpus the verify stage passes no pairs (the bench fixtures plant",
+        "no typo'd aliases: the exact-miss tail is filler vocabulary with",
+        "no near-miss dictionary surface, and the recompute only runs on",
+        "verified rows). Round 4 guessed the premium was the jw UDF; the",
+        "measurement says it is the banded scan of the worst-case tail",
+        "(56% of mentions missing the dictionary, zero fuzzy yield) — the",
+        "premium scales with tail size x yield, both of which a real",
+        "corpus keeps far smaller, and the recompute-on-verified-rows",
+        "design (correctness: a typo'd mention must not inherit the clean",
+        "surface's near-perfect jw) is confirmed costless when idle.",
     ]
 
 
@@ -1064,14 +1070,18 @@ def _write_bench_md(results, eff, row, eff_str, GATE_PAIR, WIDE_PAIR) -> None:
         " north rule gates the two stages).",
         "",
         "The clustering stage is the engine's sharded driver",
-        "(clustering.cluster_assignments_sharded): the corpus is",
-        f"partitioned {CC_AMPLIFY} ways by construction, so {CC_AMPLIFY}",
-        "independent CC jobs run concurrently from a thread pool and the",
-        "per-round driver barriers of one shard overlap the compute of the",
-        "others. That is the 100 TB driving idiom for partition-disjoint",
-        "edge spaces AND it removes most of the serial fraction that capped",
-        "single-job scaling in rounds 2-3; the single global CC job is",
-        "published below for transparency.",
+        "(clustering.cluster_assignments_sharded) at its round-5 default",
+        "max_parallel=1: ONE CC job over the shard union. Rounds 2-4 ran",
+        "3 concurrent grouped jobs to overlap per-round driver barriers —",
+        "measured on THIS round's storm-gated samples, that concurrency is",
+        "counterproductive on one box (0.642 efficiency, 1.47x CPU: the",
+        "concurrent stages thrash each other's cache and shuffle working",
+        "sets) while the single job scales at ~1.0 with CPU parity,",
+        "because the round-4 barrier cuts (proven_rounds, check_every,",
+        "lazy persist) already shrank the driver serial fraction the",
+        "concurrency existed to hide. The knob stays for deployments",
+        "where overlap genuinely wins; the global single-job row below is",
+        "the same plan without the shard bookkeeping.",
         "",
         "## Context rows (global single-job CC; 8 -> 32 where measured)",
         "",
@@ -1086,6 +1096,18 @@ def _write_bench_md(results, eff, row, eff_str, GATE_PAIR, WIDE_PAIR) -> None:
         "8 -> 32 before the Arrow featurizer; after it the 4 -> 16 gate",
         "passed at scoring 0.830 / clustering 0.857 (single global CC job,",
         "one clean 4-core sample — superseded by the table above).",
+        "",
+        "Round-4 -> 5 revision, stated plainly: round 4 published",
+        "clustering 0.991 from a narrow arm whose samples spread",
+        "[129, 155, 211] s — steal-clean but (per the round-5 root-cause",
+        "work) storm-inflated, which FLATTERED the ratio. This round the",
+        "box was rebooted and the storm gate requeues contaminated",
+        "samples; against the honest narrow arm the round-4 concurrent",
+        "driver config measured 0.642 with 1.47x CPU (samples",
+        "[76.7, 78.0, 84.4] s at 4 cores, [29.9, 30.7, 38.1] at 16), so",
+        "the driver default was revised to the single-job plan the table",
+        "above measures — a config change made FOR the measurement, with",
+        "both configs' numbers published here.",
         *ab_lines,
         *amortize_lines,
         *_inflation_lines(),

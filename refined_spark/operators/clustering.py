@@ -229,7 +229,7 @@ def connected_components(
 def cluster_assignments_sharded(
     resolved: DataFrame,
     shard_col: str = "shard",
-    max_parallel: int = 3,
+    max_parallel: int = 1,
     shards: list | None = None,
 ) -> DataFrame:
     """cluster_assignments over a corpus whose edge space is PARTITIONED by
@@ -264,9 +264,18 @@ def cluster_assignments_sharded(
     by the Python GIL: one job per shard makes the driver the bottleneck
     exactly on wide executor pools (measured: 16 single-shard jobs at 16
     cores ran 1.8x SLOWER than one global job; 2-4 grouped jobs keep the
-    barrier overlap without the driver storm). Default 3: enough overlap
-    to hide one job's barriers inside another's compute, few enough plans
-    that the driver stays off the critical path.
+    barrier overlap without the driver storm).
+
+    Default 1 (round-5 revision, measured): with the round-4 barrier cuts
+    (proven_rounds, lazy persist, check_every) the CC driver's serial
+    fraction is small enough that ONE job over the shard union scales at
+    0.96 efficiency 4 -> 16 cores with CPU parity (BENCH.md: 79.0 s ->
+    20.6 s, 308 vs 302 busy-CPU-s), while 3 concurrent jobs measured
+    0.642 with 1.47x CPU — the concurrent stages thrash each other's
+    cache/shuffle working sets on one box. Round 2-4 measured the
+    opposite on storm-contaminated samples (the round-5 root-cause
+    section); concurrency remains available for deployments where the
+    barrier overlap genuinely wins — measure, then set it.
 
     Each group's frame filters shard_col isin(group): over a
     shard-partitioned source (partitionBy(shard) parquet/Iceberg) Catalyst
