@@ -54,9 +54,14 @@ def char_shingles_col(c: Column, k: int = 5) -> Column:
     )
 
 
-def token_shingles_col(c: Column, k: int = 3) -> Column:
-    """Word k-shingles: split on whitespace, join k-grams with single spaces."""
-    toks = F.split(F.trim(c), r"\s+")
+def token_shingles_from_tokens_col(toks: Column, k: int = 3) -> Column:
+    """Word k-shingles over an ALREADY-SPLIT token array column.
+
+    `toks` must be a bound attribute (materialized in its own select), not
+    an expression tree: the transform lambda references it once per gram,
+    and common-subexpression elimination does not reach inside lambda
+    bodies — an inlined split/regexp chain here is re-evaluated for every
+    gram of every row (measured 10x+ on the n-gram corpus scan)."""
     n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
     return F.when(n <= 0, F.array(F.array_join(toks, " "))).otherwise(
         F.transform(
@@ -64,6 +69,19 @@ def token_shingles_col(c: Column, k: int = 3) -> Column:
             lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
         )
     )
+
+
+def token_shingles_col(c: Column, k: int = 3) -> Column:
+    """Word k-shingles: split on whitespace, join k-grams with single
+    spaces. Prefer split_tokens_col + token_shingles_from_tokens_col
+    across two selects (see that docstring) when the input is a string
+    expression rather than a bound column."""
+    return token_shingles_from_tokens_col(F.split(F.trim(c), r"\s+"), k)
+
+
+def split_tokens_col(c: Column) -> Column:
+    """The tokenizer token_shingles_col applies before shingling."""
+    return F.split(F.trim(c), r"\s+")
 
 
 MASK60 = (1 << 60) - 1

@@ -123,6 +123,20 @@ def lev_sim_col(a: Column, b: Column) -> Column:
     )
 
 
+def round6_half_up(x: float) -> float:
+    """Kernel-side twin of Spark's round(_, 6): HALF_UP on the shortest
+    decimal representation of the double (Java's BigDecimal.valueOf(double)
+    parses Double.toString — the shortest round-trip repr, which Python's
+    repr() reproduces); NaN/Infinity pass through like Spark's Round."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if not math.isfinite(x):
+        return x
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                           rounding=ROUND_HALF_UP))
+
+
 def dot_col(a: Column, b: Column) -> Column:
     """JVM-side dot product over two array<float|double> columns.
     Cast to double first so Spark and DuckDB accumulate identically."""

@@ -88,17 +88,39 @@ def quality_score_col(text: Column) -> Column:
 def fingerprint_col(text: Column, mod: int = 1 << 60) -> Column:
     """Order-sensitive document fingerprint: polynomial rolling hash over
     word-token md5s — fingerprint = sum(h(tok_i) * 31^(i mod 8)) mod 2^60.
-    Cheap, deterministic, and reproducible in DuckDB."""
+    Cheap, deterministic, and reproducible in DuckDB.
+
+    Arithmetic runs entirely in the long domain (the decimal(38,0)
+    formulation this replaces paid BigDecimal allocation per token). With
+    h < 2^56 and p = 31^j < 2^35, split h = hi*2^28 + lo; then
+    (h*p) mod 2^60 = (((hi*p) mod 2^32) << 28 + (lo*p) mod 2^60) mod 2^60,
+    and every intermediate fits a signed long: hi*p < 2^63, lo*p < 2^63,
+    both addends < 2^60 after masking, their sum < 2^61. Folding
+    (acc + term) & MASK60 at each step equals the big-integer total % 2^60
+    by modular-addition associativity — bit-exact with the previous
+    formulation and the DuckDB oracle."""
+    if mod != 1 << 60:
+        raise ValueError("long-domain fingerprint requires mod == 2^60")
+    mask60 = F.lit((1 << 60) - 1).cast("long")
+    mask32 = F.lit((1 << 32) - 1).cast("long")
+    mask28 = F.lit((1 << 28) - 1).cast("long")
     toks = tokens_col(text)
     idx = F.sequence(F.lit(0), F.size(toks) - 1)
-    powers = F.array(*[F.lit(31**j).cast("decimal(38,0)") for j in range(8)])
-    terms = F.zip_with(
-        toks,
-        idx,
-        lambda t, i: (
-            F.conv(F.substring(F.md5(t), 1, 14), 16, 10).cast("decimal(38,0)")
-            * F.element_at(powers, (i % 8) + 1)
-        ),
+    powers = F.array(*[F.lit(31**j).cast("long") for j in range(8)])
+
+    def term(t: Column, i: Column) -> Column:
+        h = F.conv(F.substring(F.md5(t), 1, 14), 16, 10).cast("long")
+        p = F.element_at(powers, (i % 8) + 1)
+        hi = F.shiftright(h, 28)
+        lo = h.bitwiseAND(mask28)
+        return (
+            F.shiftleft((hi * p).bitwiseAND(mask32), 28)
+            + (lo * p).bitwiseAND(mask60)
+        ).bitwiseAND(mask60)
+
+    terms = F.zip_with(toks, idx, term)
+    return F.aggregate(
+        terms,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc + v).bitwiseAND(mask60),
     )
-    total = F.aggregate(terms, F.lit(0).cast("decimal(38,0)"), lambda acc, v: acc + v)
-    return (total % F.lit(mod)).cast("long")

@@ -29,7 +29,7 @@ from pyspark.sql.window import Window
 
 from refined_spark.functions.hashing import _lcg
 from refined_spark.functions.joins import broadcast_dim
-from refined_spark.functions.similarity import dot_col, l2_norm_col
+from refined_spark.functions.similarity import dot_col, l2_norm_col, round6_half_up
 
 
 def cosine_topk_bruteforce(
@@ -243,6 +243,58 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _neardup_bucket_kernel(threshold: float, dim: int):
+    """applyInPandas kernel for one LSH bucket: all-pairs cosine >= threshold.
+
+    BLAS computes a prefilter Gram matrix (sum order differs from the
+    engine's left-to-right fold only by ~1e-15); survivors of
+    `approx >= threshold - 1e-6` are recomputed EXACTLY with
+    dimension-ordered accumulation — vectorized across pairs, sequential
+    across dims, which is bit-for-bit the fold dot_col/l2_norm_col compute
+    (same float->double casts, same add order) — then rounded HALF_UP like
+    Spark's round(_, 6). The margin is ~9 orders of magnitude wider than
+    the worst fp discrepancy, so no qualifying pair can be lost."""
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pdf["vec_id"][:0], "id_b": pdf["vec_id"][:0],
+                              "cos": pd.Series([], dtype="float64")})
+        # rows the JVM plan drops via null/ragged -> null cosine
+        ok = pdf["emb"].map(lambda e: e is not None and len(e) == dim)
+        pdf = pdf[ok]
+        n = len(pdf)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")  # ids ascending -> triu gives id_a < id_b
+        ids = pdf["vec_id"].to_numpy()
+        X = np.array([np.asarray(e, dtype=np.float64) for e in pdf["emb"]])
+        n2 = np.zeros(n)
+        for j in range(dim):  # dim-ordered: bit-exact with l2_norm_col
+            n2 += X[:, j] * X[:, j]
+        norm = np.sqrt(n2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            approx = (X @ X.T) / np.outer(norm, norm)
+        iu, ju = np.triu_indices(n, 1)
+        cand = approx[iu, ju] >= threshold - 1e-6
+        ai, bi = iu[cand], ju[cand]
+        if len(ai) == 0:
+            return empty
+        A, B = X[ai], X[bi]
+        dot = np.zeros(len(ai))
+        for j in range(dim):  # dim-ordered: bit-exact with dot_col
+            dot += A[:, j] * B[:, j]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dot / (norm[ai] * norm[bi])
+        rounded = np.array([round6_half_up(c) for c in cos])
+        # strict id_a < id_b like the JVM join condition (duplicate ids
+        # would otherwise pair with themselves after the positional triu)
+        keep = (rounded >= threshold) & (ids[ai] < ids[bi])
+        return pd.DataFrame({"id_a": ids[ai[keep]], "id_b": ids[bi[keep]],
+                             "cos": rounded[keep]})
+
+    return kernel
+
+
 _ROTATION_SEED = 0xA11CE
 
 
@@ -280,17 +332,20 @@ def embedding_near_dups(
         6,
     ).alias("cos")
     if rotations <= 1:
+        # One applyInPandas kernel per bucket group replaces the old
+        # bucket self-join whose interpreted higher-order-function cosine
+        # ran TWICE per candidate pair (join condition + project) — the
+        # all-pairs Gram matrix is one BLAS call per bucket, and only the
+        # ~|output| survivors pay the bit-exact fold recompute. Ships
+        # |corpus| skinny rows across the Python boundary, never pairs.
         v = v0.select(
             "vec_id", "emb",
             lsh_signature_col(F.col("emb"), rotation_planes(dim, bits, 0)).alias("bucket"),
         )
-        a = v.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"), "bucket")
-        b = v.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"), "bucket")
-        return (
-            a.join(b, "bucket")
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", cos())
-            .where(F.col("cos") >= threshold)
+        id_t = v0.schema["vec_id"].dataType.simpleString()
+        return v.groupBy("bucket").applyInPandas(
+            _neardup_bucket_kernel(threshold, dim),
+            schema=f"id_a {id_t}, id_b {id_t}, cos double",
         )
     rbs = F.array(
         *[

@@ -127,20 +127,26 @@ def split_date_ranges(
             text_col, F.lit(f"({DATE_SPLIT_RE})"), 1
         ).alias("__delims"),
     )
-    ex = parts.select(
-        *carried,
-        "__delims",
-        F.posexplode("__segs").alias("part_idx", "part_text"),
+    # part i's offset = sum_{j<i} len(seg_j) + len(delim_j): a per-row
+    # array prefix sum (arrays are a handful of parts long), computed
+    # BEFORE the explode — the Window.partitionBy(mention_id) this
+    # replaces shuffled and sorted every exploded part just to add
+    # integers that never leave their source row.
+    structs = F.transform(
+        F.col("__segs"),
+        lambda s, i: F.struct(
+            i.alias("part_idx"),
+            s.alias("part_text"),
+            (
+                F.aggregate(F.slice(F.col("__segs"), 1, i), F.lit(0),
+                            lambda a, x: a + F.length(x))
+                + F.aggregate(F.slice(F.col("__delims"), 1, i), F.lit(0),
+                              lambda a, x: a + F.length(x))
+            ).cast("long").alias("part_offset"),
+        ),
     )
-    contrib = F.length("part_text") + F.coalesce(
-        F.length(F.try_element_at("__delims", F.col("part_idx") + 1)), F.lit(0)
-    )
-    w = Window.partitionBy(id_col).orderBy("part_idx")
-    return ex.select(
-        *carried,
-        "part_idx",
-        "part_text",
-        (F.sum(contrib).over(w) - contrib).alias("part_offset"),
+    return parts.select(*carried, F.explode(structs).alias("__p")).select(
+        *carried, "__p.part_idx", "__p.part_text", "__p.part_offset"
     )
 
 

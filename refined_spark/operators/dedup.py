@@ -54,6 +54,117 @@ def ordered_pairs_col(ds: Column) -> Column:
     )
 
 
+def _is_integral(dtype) -> bool:
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    return isinstance(dtype, (ByteType, ShortType, IntegerType, LongType))
+
+
+# --------------------------------------------------------------------------
+# Block-pair pair generation (the guide-§2 shape for all-pairs work):
+# docs hash into B blocks; the unordered pair (a, b) is processed by exactly
+# ONE task, the one owning (block(a), block(b)) — so candidate emission,
+# deduplication/counting AND the similarity filter all happen task-locally
+# in numpy, and nothing pair-shaped is ever shuffled. Replication cost is
+# one copy of each doc's (small) key row per block — O(n·B) bytes for
+# O(n^2/B^2)-per-task work; B grows as sqrt(cores).
+#
+# The old plan (posting-list explode -> global distinct/count) emitted the
+# full O(sum d^2) pair multiset through an interpreted higher-order-function
+# projection and shuffled it; AQE additionally coalesced the few-MB posting
+# frame down to a handful of tasks, so the quadratic work ran nearly serial.
+# --------------------------------------------------------------------------
+
+
+def _n_blocks(spark) -> int:
+    """Smallest B with enough (i<=j) block pairs to cover the cores."""
+    par = max(spark.sparkContext.defaultParallelism, 2)
+    b = 2
+    while b * (b + 1) // 2 < 2 * par:
+        b += 1
+    return b
+
+
+def _pid_explode(blk: Column, n_blocks: int) -> Column:
+    """All B canonical block-pair ids {(min(blk,k), max(blk,k))} a doc's
+    rows must reach, encoded i*B+j with i <= j."""
+    ks = F.sequence(F.lit(0), F.lit(n_blocks - 1))
+    return F.explode(
+        F.transform(
+            ks,
+            lambda k: F.least(blk, k) * n_blocks + F.greatest(blk, k),
+        )
+    )
+
+
+def _per_pid(process):
+    """mapInPandas wrapper: concatenates the partition's batches (a hash
+    partition may hold several pids, and one pid's rows may span Arrow
+    batches), then runs `process` per pid group."""
+    import pandas as pd
+
+    def f(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        for _, g in pdf.groupby("pid", sort=False):
+            out = process(g)
+            if out is not None and len(out):
+                yield out
+
+    return f
+
+
+def _dedup_sorted_pairs(a, b, counts: bool = False):
+    """lexsort-unique over two parallel id arrays; returns (a, b[, cnt])."""
+    import numpy as np
+
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    new = np.empty(len(a), dtype=bool)
+    new[0] = True
+    new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    idx = np.flatnonzero(new)
+    if counts:
+        return a[idx], b[idx], np.diff(np.append(idx, len(a)))
+    return a[idx], b[idx]
+
+
+def _segment_pairs(codes, vals, blk, i, j):
+    """Emit the cross-block (i != j) or within-block (i == j) pairs of
+    every bucket segment. `codes` must be the primary sort key and `vals`
+    (doc ids) the secondary, pre-sorted ascending. Returns (a, b) with
+    a < b element-wise."""
+    import numpy as np
+
+    acc_a, acc_b = [], []
+    bounds = np.flatnonzero(codes[1:] != codes[:-1]) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(codes)]))
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        v = vals[s:e]
+        if i == j:
+            iu, ju = np.triu_indices(len(v), 1)
+            acc_a.append(v[iu])  # v ascending -> a < b
+            acc_b.append(v[ju])
+        else:
+            side = blk[s:e]
+            left = v[side == i]
+            right = v[side == j]
+            if len(left) == 0 or len(right) == 0:
+                continue
+            la = np.repeat(left, len(right))
+            rb = np.tile(right, len(left))
+            acc_a.append(np.minimum(la, rb))
+            acc_b.append(np.maximum(la, rb))
+    if not acc_a:
+        return None, None
+    return np.concatenate(acc_a), np.concatenate(acc_b)
+
+
 def exact_duplicates(documents: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text",
                      prefix_chars: int | None = None) -> DataFrame:
@@ -86,23 +197,53 @@ def exact_duplicates(documents: DataFrame, id_col: str = "doc_id",
 def minhash_signatures(documents: DataFrame, k: int = 5, num_hashes: int = 32,
                        text_col: str = "text") -> DataFrame:
     """(doc_id, sig array<long>[num_hashes]) over char k-shingles.
-    Two selects on purpose: the md5 base array materializes once per row
-    (CollapseProject keeps non-cheap multiply-referenced projections
-    separate), then each permutation is pure long arithmetic."""
-    from refined_spark.functions.hashing import (
-        minhash_base_col,
-        minhash_sig_from_base_col,
-    )
 
-    base = documents.select(
-        "doc_id",
-        minhash_base_col(
-            char_shingles_col(normalized_text_col(F.col(text_col)), k)
-        ).alias("mh_base"),
-    )
-    return base.select(
-        "doc_id", minhash_sig_from_base_col(F.col("mh_base"), num_hashes).alias("sig")
-    )
+    Text normalization stays a JVM builtin (so lower/trim/\\s+ semantics
+    can never drift from the rest of the engine); the shingle loop, md5
+    and the (h1 + i*h2) & MASK60 permutation family run in an Arrow
+    kernel — hashlib.md5 over the raw digest bytes plus one vectorized
+    min per permutation. Byte-for-byte the same signature longs as the
+    previous conv(substr(md5...)) expression tree (md5 is md5; hex chars
+    1-15 == digest bytes 0-7 >> 4, hex 16-29 == (bytes 7-14 >> 4) & 2^56-1,
+    all integer math), which paid one interpreted higher-order-function
+    transform per permutation plus Spark's notoriously slow conv()."""
+    import numpy as np
+    import pandas as pd
+
+    from refined_spark.functions.hashing import MASK60
+
+    mask56 = (1 << 56) - 1
+
+    def kernel(batches):
+        import hashlib
+
+        md5 = hashlib.md5
+        from_bytes = int.from_bytes
+
+        for pdf in batches:
+            sigs: list = []
+            for s in pdf["__norm"]:
+                if s is None:
+                    sigs.append(None)
+                    continue
+                n = len(s)
+                shingles = {s[:k]} if n <= k else {
+                    s[i:i + k] for i in range(n - k + 1)
+                }
+                h1 = np.empty(len(shingles), dtype=np.int64)
+                h2 = np.empty(len(shingles), dtype=np.int64)
+                for idx, sh in enumerate(shingles):
+                    dg = md5(sh.encode("utf-8")).digest()
+                    h1[idx] = from_bytes(dg[:8], "big") >> 4
+                    h2[idx] = (from_bytes(dg[7:15], "big") >> 4) & mask56
+                sigs.append([int(np.min((h1 + i * h2) & MASK60))
+                             for i in range(num_hashes)])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+
+    id_t = documents.schema["doc_id"].dataType.simpleString()
+    return documents.select(
+        "doc_id", normalized_text_col(F.col(text_col)).alias("__norm")
+    ).mapInPandas(kernel, schema=f"doc_id {id_t}, sig array<bigint>")
 
 
 def lsh_candidate_pairs(
@@ -144,12 +285,66 @@ def lsh_candidate_pairs(
     the pair-explosion bound: every posting list is <= cap long."""
     from refined_spark.functions.hashing import band_hashes_col
 
+    import numpy as np
+    import pandas as pd
+
     banded = signatures.select(
         "doc_id",
         F.posexplode(
             band_hashes_col(F.col("sig"), bands, num_hashes)
         ).alias("band_id", "band_hash"),
     )
+    elem = signatures.schema["doc_id"].dataType
+    if _is_integral(elem):
+        # Block-pair plan (header comment above): bucket sizes are
+        # aggregated once globally (the cap and >=2 filters need GLOBAL
+        # bucket membership), surviving banded rows replicate to their B
+        # block-pair tasks, and each task emits + dedups its share of
+        # every bucket's pairs locally — a hot near-cap bucket's O(d^2)
+        # pairs split evenly across all B(B+1)/2 tasks instead of
+        # exploding out of one posting-list row, and the global
+        # `distinct` shuffle of the pair multiset disappears.
+        bsizes = banded.groupBy("band_id", "band_hash").agg(
+            F.count("*").alias("__bsz")
+        )
+        if bucket_cap is not None:
+            bsizes = bsizes.observe(
+                observation if observation is not None else "lsh_bucket_cap",
+                F.sum(
+                    F.when(F.col("__bsz") > bucket_cap, F.col("__bsz"))
+                    .otherwise(0)
+                ).alias("lsh_dropped_bucket_rows"),
+            ).where(F.col("__bsz") <= bucket_cap)
+        keep = bsizes.where(F.col("__bsz") >= 2).select("band_id", "band_hash")
+        nb = _n_blocks(signatures.sparkSession)
+        rep = (
+            banded.join(keep, ["band_id", "band_hash"], "left_semi")
+            .withColumn(
+                "blk", F.pmod(F.xxhash64("doc_id"), F.lit(nb)).cast("int")
+            )
+            .withColumn("pid", _pid_explode(F.col("blk"), nb))
+        )
+
+        def process(g: pd.DataFrame):
+            pid = int(g["pid"].iloc[0])
+            i, j = divmod(pid, nb)
+            vals = g["doc_id"].to_numpy()
+            blk = g["blk"].to_numpy()
+            codes = pd.factorize(
+                g["band_id"].astype(str) + "|" + g["band_hash"]
+            )[0]
+            order = np.lexsort((vals, codes))
+            a, b = _segment_pairs(codes[order], vals[order], blk[order], i, j)
+            if a is None:
+                return None
+            a, b = _dedup_sorted_pairs(a, b)
+            return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+        t = elem.simpleString()
+        return rep.repartition(2 * nb * nb, "pid").mapInPandas(
+            _per_pid(process), schema=f"doc_a {t}, doc_b {t}"
+        )
+
     posts = banded.groupBy("band_id", "band_hash").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
@@ -401,12 +596,23 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5
     the quadratic pair set, then joined the FULL gram arrays back to every
     pair and ran array_intersect+array_union per pair: ~8x slower at sf0.1
     and each of those steps scales worse than its replacement at 100 TB."""
-    from refined_spark.functions.hashing import token_shingles_col
+    from refined_spark.functions.hashing import (
+        split_tokens_col,
+        token_shingles_from_tokens_col,
+    )
 
-    grams = documents.select(
+    # two selects: bind the token array to an attribute so the shingle
+    # lambda does not re-evaluate the lower/trim/regexp/split chain per
+    # gram (token_shingles_from_tokens_col docstring; measured ~10x on
+    # this scan)
+    toks = documents.select(
+        "doc_id",
+        split_tokens_col(normalized_text_col(F.col(text_col))).alias("__toks"),
+    )
+    grams = toks.select(
         "doc_id",
         F.array_distinct(
-            token_shingles_col(normalized_text_col(F.col(text_col)), n)
+            token_shingles_from_tokens_col(F.col("__toks"), n)
         ).alias("grams"),
     )
     inv = grams.select("doc_id", F.explode("grams").alias("g"))
@@ -415,6 +621,67 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5
     )
     if df_cap is not None:
         posts = posts.where(F.size("ds") <= df_cap)
+    elem = grams.schema["doc_id"].dataType
+    if _is_integral(elem):
+        # Block-pair plan (header comment above): per-doc CAPPED gram-id
+        # arrays replicate to their B block-pair tasks; each task builds
+        # its local inverted index in numpy, emits + counts its share of
+        # the pair multiset (sum over tasks == the old global count(*)),
+        # and applies the Jaccard filter locally — n_a/n_b are just the
+        # array lengths, so the two size joins and the 10^8-row pair
+        # shuffle of the old plan disappear entirely. n_common, n_a, n_b
+        # are exact integers; jaccard is the identical single double
+        # division, rounded with the engine-wide HALF_UP twin.
+        import numpy as np
+        import pandas as pd
+
+        from refined_spark.functions.similarity import round6_half_up
+
+        nb = _n_blocks(documents.sparkSession)
+        docarr = (
+            posts.select(F.monotonically_increasing_id().alias("gid"), "ds")
+            .select("gid", F.explode("ds").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.collect_list("gid").alias("gids"))
+        )
+        rep = docarr.withColumn(
+            "blk", F.pmod(F.xxhash64("doc_id"), F.lit(nb)).cast("int")
+        ).withColumn("pid", _pid_explode(F.col("blk"), nb))
+
+        def process(g: pd.DataFrame):
+            pid = int(g["pid"].iloc[0])
+            i, j = divmod(pid, nb)
+            ids = g["doc_id"].to_numpy()
+            blk_doc = g["blk"].to_numpy()
+            lens = g["gids"].map(len).to_numpy()
+            doc_pos = np.repeat(np.arange(len(g)), lens)
+            gid = np.concatenate(list(g["gids"]))
+            vals = ids[doc_pos]
+            blk = blk_doc[doc_pos]
+            order = np.lexsort((vals, gid))
+            a, b = _segment_pairs(gid[order], vals[order], blk[order], i, j)
+            if a is None:
+                return None
+            a, b, c = _dedup_sorted_pairs(a, b, counts=True)
+            sid = np.argsort(ids)
+            ids_sorted, n_sorted = ids[sid], lens[sid]
+            n_a = n_sorted[np.searchsorted(ids_sorted, a)]
+            n_b = n_sorted[np.searchsorted(ids_sorted, b)]
+            jacc = c.astype(np.float64) / (n_a + n_b - c).astype(np.float64)
+            keep = jacc >= threshold
+            if not keep.any():
+                return None
+            return pd.DataFrame({
+                "doc_a": a[keep], "doc_b": b[keep],
+                "jaccard": np.array([round6_half_up(x) for x in jacc[keep]],
+                                    dtype=np.float64),
+            })
+
+        t = elem.simpleString()
+        return rep.repartition(2 * nb * nb, "pid").mapInPandas(
+            _per_pid(process), schema=f"doc_a {t}, doc_b {t}, jaccard double"
+        )
+
     sizes = (
         posts.select(F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")

@@ -169,7 +169,9 @@ def q_pem_build(spark, sf_dir):
     documents corpus (same algebra as surface->qcode link counts)."""
     from refined_spark.operators.pem import build_pem, pem_flat
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     ev = (
         d.select(F.explode(F.split("text", " ")).alias("surface_form"), F.col("source"))
         .where(F.col("surface_form") != "")
@@ -207,7 +209,9 @@ def q_candidate_join(spark, sf_dir):
     empty-candidate path. Returns per-token best candidate (C5 argmax)."""
     from refined_spark.operators.pem import build_pem, pem_flat
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     ev = (
         d.select(F.explode(F.split("text", " ")).alias("surface_form"), "source")
         .where(F.col("surface_form") != "")
@@ -427,7 +431,9 @@ WHERE n_common::DOUBLE / (sa.n_grams + sb.n_grams - n_common)::DOUBLE >= 0.5
 
 # ------------------------------------------------------------------- ANN ops
 def q_ann_bruteforce(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     queries = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -458,7 +464,11 @@ WHERE rank <= 10 AND query_id <> vec_id
 
 # ------------------------------------------------------------------ text ops
 def q_token_stats(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # single-row-group input file: without the repartition the whole map
+    # stage runs on one core (scan splits cannot cross row groups)
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return d.select(
         "doc_id",
         T.token_count_col(F.col("text")).alias("n_tokens"),
@@ -479,7 +489,9 @@ FROM toks
 
 
 def q_quality_score(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return d.select("doc_id", T.quality_score_col(F.col("text")).alias("quality"))
 
 
@@ -505,7 +517,9 @@ FROM b
 
 
 def q_fingerprint(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return d.select("doc_id", T.fingerprint_col(F.col("text")).alias("fingerprint"))
 
 
@@ -524,7 +538,9 @@ FROM toks
 
 
 def q_lang_id(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     s = T.lang_id_struct_col(F.col("text"))
     return d.select(
         "doc_id", s["lang"].alias("lang_pred"), F.round(s["score"], 6).alias("lang_score")
@@ -753,7 +769,9 @@ _NEARDUP_THRESHOLD = 0.35
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicates, blocked by random-hyperplane LSH
     bucket (the pairs-at-scale path: bucket equi-join, no cross join)."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return ann.embedding_near_dups(
         e, dim=_EMB_DIM, threshold=_NEARDUP_THRESHOLD, bits=_NEARDUP_BITS
     )
@@ -840,7 +858,9 @@ SQL_EMBEDDING_NEARDUP_MULTIROT = _sql_embedding_neardup_multirot()
 def q_ann_lsh(spark, sf_dir):
     """IVF/LSH-bucketed ANN top-k: the scale path (bucket join + exact
     re-rank inside the bucket) next to q_ann_bruteforce's exact baseline."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     queries = e.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1461,7 +1481,9 @@ def q_gold_recall(spark, sf_dir):
     from refined_spark.operators.metrics import gold_recall
     from refined_spark.operators.pem import build_pem, pem_flat
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     ev = (
         d.select(F.explode(F.split("text", " ")).alias("surface_form"), "source")
         .where(F.col("surface_form") != "")
@@ -1580,7 +1602,9 @@ def q_span_correction(spark, sf_dir):
     the hand-derived expected output per constructed case."""
     from refined_spark.operators.spans import correct_spans
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     h = F.md5(F.col("doc_id").cast("string"))
     w = [F.substring(h, 1 + 6 * i, 6) for i in range(6)]
     NL, Q = F.lit("\n"), F.lit('"')
@@ -1628,7 +1652,11 @@ def q_date_range_split(spark, sf_dir):
     per-part character offsets, over synthetic date strings from orders."""
     from refined_spark.operators.dates import split_date_ranges
 
-    o = _t(spark, sf_dir, "orders")
+    # project the two needed columns, then spread the regex/split work:
+    # orders ships as 2 row groups, so the scan caps parallelism at 2
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    ).repartition(spark.sparkContext.defaultParallelism)
     y = F.year("o_orderdate")
     txt = (
         F.when(F.col("o_orderkey") % 3 == 0,

@@ -93,12 +93,39 @@ def get_spark(
             "spark.sql.adaptive.optimizer.excludedRules",
             "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation",
         )
+        # InferFiltersFromGenerate injects `size(arr) > 0 AND isnotnull(arr)`
+        # below every explode/posexplode — with the generator's WHOLE child
+        # expression inlined into the predicate, outside the reach of
+        # subexpression elimination. For this engine's explodes the array is
+        # an expensive computed chain (token shingles, hash signatures,
+        # synthetic span cases) that is never empty, so the rule only
+        # re-evaluates the chain per row: the n-gram inverted-index scan
+        # measured 46 s with the rule and 1.4 s without it at sf1.0
+        # (q_minhash_signatures had already hit this and dodged it with
+        # posexplode_outer — this removes the trap engine-wide). Row
+        # results are unaffected: the rule is a pure pre-filter.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Scan-split floor. Split size is max(openCostInBytes,
+        # bytes/minPartitionNum) capped at maxPartitionBytes, and
+        # minPartitionNum defaults to the core count — but the stock 4 MB
+        # openCostInBytes floor overrides that for small single-file
+        # inputs: a 6 MB parquet becomes 2 splits, so every scan-bound
+        # expression query (fingerprint, lang_id, quality_score, ...) ran
+        # on 2 of 32 cores (measured 3-6 s each; CPU-bound map work). A
+        # 256 KB floor keeps tiny-file packing sane while letting
+        # minPartitionNum spread small corpora over the executor pool; on
+        # a real cluster inputs have thousands of >= 128 MB splits and
+        # this knob never decides anything.
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
     )
     if scale_profile:
         # scan parallelism: split files so every core gets work even on
