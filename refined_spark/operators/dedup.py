@@ -483,6 +483,58 @@ def simhash_col(text: Column, num_bits: int = 64) -> Column:
     )
 
 
+def simhash_table(documents: DataFrame, num_bits: int = 64,
+                  text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) via an Arrow kernel — bit-exact with simhash_col
+    and hashing.simhash64_py (same md5, same majority vote, same signed
+    bit-63 representation), without the interpreted zip_with vote loop
+    that pays ~num_bits lambda evaluations per token. Normalization stays
+    JVM-side like minhash_signatures; the kernel unpacks each token's
+    64-bit hash (md5 hex 1-15 -> bits 0-59, hex 16 -> bits 60-63) with
+    one np.unpackbits per doc and takes the per-bit majority."""
+    import numpy as np
+    import pandas as pd
+
+    if not 1 <= num_bits <= 64:
+        raise ValueError(f"num_bits={num_bits} outside [1, 64]")
+
+    def kernel(batches):
+        import hashlib
+
+        md5 = hashlib.md5
+        from_bytes = int.from_bytes
+
+        for pdf in batches:
+            out = []
+            for s in pdf["__norm"]:
+                if s is None:
+                    out.append(None)
+                    continue
+                toks = s.split(" ")
+                m = len(toks)
+                h = np.empty(m, dtype=np.uint64)
+                for idx, t in enumerate(toks):
+                    dg = md5(t.encode("utf-8")).digest()
+                    h1 = from_bytes(dg[:8], "big") >> 4   # hex 1-15
+                    h2 = dg[7] & 0x0F                      # hex 16
+                    h[idx] = h1 | (h2 << 60)
+                bits = np.unpackbits(
+                    h.view(np.uint8).reshape(m, 8), axis=1, bitorder="little"
+                )
+                ones = bits.sum(axis=0, dtype=np.int64)
+                val = 0
+                for b in range(num_bits):
+                    if 2 * int(ones[b]) > m:
+                        val |= 1 << b
+                out.append(val - (1 << 64) if val >= (1 << 63) else val)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+    id_t = documents.schema["doc_id"].dataType.simpleString()
+    return documents.select(
+        "doc_id", normalized_text_col(F.col(text_col)).alias("__norm")
+    ).mapInPandas(kernel, schema=f"doc_id {id_t}, simhash bigint")
+
+
 def simhash_near_dups(documents: DataFrame, num_bits: int = 64,
                       text_col: str = "text") -> DataFrame:
     """Docs whose SimHash is identical (bucket grouping — the scalable
@@ -528,8 +580,8 @@ def simhash_pairs(documents: DataFrame, num_bits: int = 64, radius: int = 3,
     nb = radius + 1
     if num_bits < nb:
         raise ValueError(f"num_bits={num_bits} < radius+1={nb}")
-    h = documents.select(
-        "doc_id", simhash_col(F.col(text_col), num_bits).alias("sh")
+    h = simhash_table(documents, num_bits, text_col).withColumnRenamed(
+        "simhash", "sh"
     )
     widths = [num_bits // nb + (1 if i < num_bits % nb else 0) for i in range(nb)]
     lows = [sum(widths[:i]) for i in range(nb)]

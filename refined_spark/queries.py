@@ -68,7 +68,13 @@ GROUP BY l_returnflag, l_linestatus
 def q_revenue_by_nation(spark, sf_dir):
     """J-family multi-join + agg (TPC-H Q5 shape): customer-order-lineitem
     joined through nation/region dims (broadcast-able)."""
-    li = _t(spark, sf_dir, "lineitem")
+    # project to the three used columns, then spread the join probes and
+    # partial aggregation: the 6-row-group lineitem file caps the scan
+    # stage at 6 cores otherwise, and the narrow projection keeps the
+    # repartition exchange small
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    ).repartition(spark.sparkContext.defaultParallelism)
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
@@ -169,9 +175,7 @@ def q_pem_build(spark, sf_dir):
     documents corpus (same algebra as surface->qcode link counts)."""
     from refined_spark.operators.pem import build_pem, pem_flat
 
-    d = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _t(spark, sf_dir, "documents")
     ev = (
         d.select(F.explode(F.split("text", " ")).alias("surface_form"), F.col("source"))
         .where(F.col("surface_form") != "")
@@ -209,9 +213,7 @@ def q_candidate_join(spark, sf_dir):
     empty-candidate path. Returns per-token best candidate (C5 argmax)."""
     from refined_spark.operators.pem import build_pem, pem_flat
 
-    d = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _t(spark, sf_dir, "documents")
     ev = (
         d.select(F.explode(F.split("text", " ")).alias("surface_form"), "source")
         .where(F.col("surface_form") != "")
@@ -656,9 +658,7 @@ def q_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return d.select(
-        "doc_id", dedup.simhash_col(F.col("text"), num_bits=64).alias("simhash")
-    )
+    return dedup.simhash_table(d, num_bits=64)
 
 
 def _sql_simhash_terms(num_bits: int) -> str:
@@ -1030,7 +1030,15 @@ def q_bio_decode(spark, sf_dir):
     (an I- without a preceding B- starts a span) is exercised."""
     from refined_spark.operators.bio import decode_bio
 
-    li = _t(spark, sf_dir, "lineitem")
+    # one exchange for the whole query: hash(l_orderkey) satisfies the
+    # (doc_id, token_idx) aggregation, the per-doc decode windows AND the
+    # final span assembly, so EnsureRequirements inserts nothing further —
+    # the old plan paid a second exchange re-hashing the 6M-row aggregate
+    # by doc_id alone (and the 6-row-group scan capped the first stage at
+    # 6 cores)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    ).repartition(F.col("l_orderkey"))
     # l_linenumber is not unique per order in this synthetic data — collapse
     # to one token per (order, linenumber) with a deterministic min(tag)
     toks = (
@@ -1481,9 +1489,7 @@ def q_gold_recall(spark, sf_dir):
     from refined_spark.operators.metrics import gold_recall
     from refined_spark.operators.pem import build_pem, pem_flat
 
-    d = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = _t(spark, sf_dir, "documents")
     ev = (
         d.select(F.explode(F.split("text", " ")).alias("surface_form"), "source")
         .where(F.col("surface_form") != "")
