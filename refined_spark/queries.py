@@ -227,16 +227,25 @@ def q_candidate_join(spark, sf_dir):
     )
     from refined_spark.functions.joins import maybe_broadcast
 
-    joined = mentions.join(
-        maybe_broadcast(flat), mentions["token"] == flat["surface_form"], "left"
-    )
-    best = joined.groupBy("doc_id", "token").agg(
+    # the argmax depends only on the token, so it collapses on the
+    # dictionary side BEFORE the join: the old plan joined every mention
+    # against all <=30 candidates of its token (a ~25x row explosion at
+    # sf1.0) and re-ran the same max_by per (doc, token). One aggregate
+    # per distinct surface + a 1:1 left join is the identical result —
+    # the max_by ordering struct (prior, then qcode, both ascending max)
+    # is unchanged, so ties break exactly as before.
+    best_per_surface = flat.groupBy("surface_form").agg(
         F.max_by(
             F.struct(F.col("qcode"), F.col("prior")),
             F.struct(F.col("prior").alias("p"), F.col("qcode").alias("q")),
         ).alias("best")
     )
-    return best.select(
+    joined = mentions.join(
+        maybe_broadcast(best_per_surface),
+        mentions["token"] == best_per_surface["surface_form"],
+        "left",
+    )
+    return joined.select(
         "doc_id",
         "token",
         F.col("best.qcode").alias("qcode"),
@@ -1502,11 +1511,25 @@ def q_gold_recall(spark, sf_dir):
         .where(F.col("token") != "")
         .distinct()
     )
-    cands = mentions.join(
-        flat, mentions["token"] == flat["surface_form"]
-    ).select(F.col("doc_id").alias("mention_id"), "qcode")
     gold = d.select(F.col("doc_id").alias("mention_id"),
                     F.col("source").alias("qcode"))
+    # gold_recall only consumes candidates through the semi-join against
+    # gold, so candidates not equal to their doc's gold entity can never
+    # affect the result — constraining the dictionary join to the doc's
+    # gold qcode up front skips the ~25x candidate row explosion while
+    # producing the identical hit set (and n_gold comes from `gold`).
+    from refined_spark.functions.joins import maybe_broadcast
+
+    gt = d.select("doc_id", F.col("source").alias("gold_qcode"))
+    cands = (
+        mentions.join(maybe_broadcast(gt), "doc_id")
+        .join(
+            flat,
+            (mentions["token"] == flat["surface_form"])
+            & (F.col("gold_qcode") == flat["qcode"]),
+        )
+        .select(F.col("doc_id").alias("mention_id"), "qcode")
+    )
     return gold_recall(gold, cands)
 
 
