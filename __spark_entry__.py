@@ -3,9 +3,14 @@
 - entry(spark): flagship query at sf0.001 — the dictionary-blocking spine
   (normalize -> PEM prior build -> candidate join -> argmax) over the
   driver's documents corpus.
-- queries()/oracle_sql(): the operator catalog from refined_spark.queries;
-  every entry has a DuckDB-runnable ANSI-SQL twin (verified side-by-side in
-  tests/test_oracle_parity.py before shipping).
+- queries()/oracle_sql(): the operator catalog from refined_spark.queries.
+  oracle_sql() is a SUBSET of queries(): every batch query has a
+  DuckDB-runnable ANSI-SQL twin (verified side-by-side in
+  tests/test_oracle_parity.py before shipping); the one streaming entry
+  (incremental_resolve) is not ANSI-SQL-expressible and carries its
+  equality evidence in-query (it raises unless the incremental result
+  equals a full batch recompute) — consumers iterating queries() must
+  use oracle_sql().get(name), not [name].
 """
 
 from __future__ import annotations
