@@ -70,14 +70,22 @@ def main() -> None:
     missed = exact.where(F.col("qcode").isNull()).select(*mentions.columns)
     surfaces = flat.select("surface_form").distinct()
     s_banded = blocking._banded(surfaces, "surface_form", k, num_hashes, bands)
-    m_banded = blocking._banded(missed, "block_key", k, num_hashes, bands)
-    pairs = (m_banded.join(maybe_broadcast(s_banded), ["band_id", "band_hash"])
-             .select(*mentions.columns, "surface_form").distinct())
+    # round-6 plan shape: banding + verify run per DISTINCT block key
+    # (functions of the key alone), then rejoin the mention set
+    keys = missed.select("block_key").distinct().repartition(32)
+    k_banded = blocking._banded(keys, "block_key", k, num_hashes, bands)
+    key_pairs = (k_banded.join(maybe_broadcast(s_banded),
+                               ["band_id", "band_hash"])
+                 .select("block_key", "surface_form").distinct())
     sh_m = F.array_distinct(char_shingles_col(F.col("block_key"), k))
     sh_s = F.array_distinct(char_shingles_col(F.col("surface_form"), k))
     inter = F.size(F.array_intersect(sh_m, sh_s)).cast("double")
     union = F.size(F.array_union(sh_m, sh_s)).cast("double")
-    verified = pairs.withColumn("_jac", inter / union).where(F.col("_jac") >= 0.5)
+    verified_keys = key_pairs.withColumn("_jac", inter / union).where(
+        F.col("_jac") >= 0.5)
+    pairs = key_pairs.join(missed, "block_key").select(
+        *mentions.columns, "surface_form")
+    verified = missed.join(verified_keys, "block_key")
 
     bodies = {
         "exact": lambda: materialize(

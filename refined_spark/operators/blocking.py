@@ -115,11 +115,27 @@ def lsh_candidate_join(
     mention_cols = list(mentions.columns)
     surfaces = flat.select("surface_form").distinct()
     s_banded = _banded(surfaces, "surface_form", k, num_hashes, bands)
-    m_banded = _banded(mentions, "block_key", k, num_hashes, bands)
+    # banding and the Jaccard verify are functions of the BLOCK KEY alone,
+    # so they run once per distinct key, not once per mention: mentions
+    # sharing a key (common on real corpora and ~2x on the bench tail)
+    # would otherwise each pay the signature chain, the band join AND the
+    # per-pair shingle intersect. Verified (block_key, surface) pairs
+    # rejoin the mention set afterwards — the same (mention, surface)
+    # pair set as banding every mention row, by construction.
+    # explicit repartition after the distinct: AQE coalesces the few-MB
+    # key exchange to ~1 partition by bytes, which would run the whole
+    # signature chain for every key on one core (the round-6 pattern:
+    # expensive compute downstream of a tiny exchange needs explicit
+    # width, not byte-derived width)
+    keys = (
+        mentions.select("block_key").distinct()
+        .repartition(mentions.sparkSession.sparkContext.defaultParallelism)
+    )
+    k_banded = _banded(keys, "block_key", k, num_hashes, bands)
 
-    pairs = (
-        m_banded.join(maybe_broadcast(s_banded), ["band_id", "band_hash"])
-        .select(*mention_cols, "surface_form")
+    key_pairs = (
+        k_banded.join(maybe_broadcast(s_banded), ["band_id", "band_hash"])
+        .select("block_key", "surface_form")
         .distinct()
     )
 
@@ -128,9 +144,10 @@ def lsh_candidate_join(
     sh_s = F.array_distinct(char_shingles_col(F.col("surface_form"), k))
     inter = F.size(F.array_intersect(sh_m, sh_s)).cast("double")
     union = F.size(F.array_union(sh_m, sh_s)).cast("double")
-    verified = pairs.withColumn("_jac", inter / union).where(
+    verified_keys = key_pairs.withColumn("_jac", inter / union).where(
         F.col("_jac") >= jaccard_threshold
     )
+    verified = mentions.join(verified_keys, "block_key")
 
     cand = verified.join(maybe_broadcast(flat), "surface_form")
     feat = [c for c in ("jw", "lev") if c in flat.columns]
