@@ -243,6 +243,9 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+_GRAM_BLOCK = 4096  # rows per Gram prefilter block (memory bound, not tuning)
+
+
 def _neardup_bucket_kernel(threshold: float, dim: int):
     """applyInPandas kernel for one LSH bucket: all-pairs cosine >= threshold.
 
@@ -253,7 +256,12 @@ def _neardup_bucket_kernel(threshold: float, dim: int):
     across dims, which is bit-for-bit the fold dot_col/l2_norm_col compute
     (same float->double casts, same add order) — then rounded HALF_UP like
     Spark's round(_, 6). The margin is ~9 orders of magnitude wider than
-    the worst fp discrepancy, so no qualifying pair can be lost."""
+    the worst fp discrepancy, so no qualifying pair can be lost.
+
+    Memory is bounded: the Gram prefilter runs in row blocks of
+    _GRAM_BLOCK, so the kernel holds O(block x bucket) floats, never the
+    full bucket^2 matrix — a 10^5-vector bucket costs ~3 GB transient per
+    block instead of an 80 GB triangle."""
     import pandas as pd
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -265,18 +273,24 @@ def _neardup_bucket_kernel(threshold: float, dim: int):
         n = len(pdf)
         if n < 2:
             return empty
-        pdf = pdf.sort_values("vec_id")  # ids ascending -> triu gives id_a < id_b
+        pdf = pdf.sort_values("vec_id")  # ids ascending -> i<j gives id_a <= id_b
         ids = pdf["vec_id"].to_numpy()
         X = np.array([np.asarray(e, dtype=np.float64) for e in pdf["emb"]])
         n2 = np.zeros(n)
         for j in range(dim):  # dim-ordered: bit-exact with l2_norm_col
             n2 += X[:, j] * X[:, j]
         norm = np.sqrt(n2)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            approx = (X @ X.T) / np.outer(norm, norm)
-        iu, ju = np.triu_indices(n, 1)
-        cand = approx[iu, ju] >= threshold - 1e-6
-        ai, bi = iu[cand], ju[cand]
+        cand_a, cand_b = [], []
+        for b0 in range(0, n, _GRAM_BLOCK):
+            b1 = min(b0 + _GRAM_BLOCK, n)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                approx = (X[b0:b1] @ X.T) / np.outer(norm[b0:b1], norm)
+            ri, cj = np.nonzero(approx >= threshold - 1e-6)
+            upper = cj > ri + b0  # strictly upper triangle, global indices
+            cand_a.append(ri[upper] + b0)
+            cand_b.append(cj[upper])
+        ai = np.concatenate(cand_a) if cand_a else np.array([], dtype=np.int64)
+        bi = np.concatenate(cand_b) if cand_b else np.array([], dtype=np.int64)
         if len(ai) == 0:
             return empty
         A, B = X[ai], X[bi]
