@@ -116,8 +116,9 @@ def _per_pid(process):
     return f
 
 
-def _dedup_sorted_pairs(a, b, counts: bool = False):
-    """lexsort-unique over two parallel id arrays; returns (a, b[, cnt])."""
+def _dedup_sorted_pairs(a, b, c=None):
+    """lexsort-unique over two parallel id arrays; with `c`, sums the
+    per-row counts of equal pairs. Returns (a, b[, cnt])."""
     import numpy as np
 
     order = np.lexsort((b, a))
@@ -126,19 +127,77 @@ def _dedup_sorted_pairs(a, b, counts: bool = False):
     new[0] = True
     new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
     idx = np.flatnonzero(new)
-    if counts:
-        return a[idx], b[idx], np.diff(np.append(idx, len(a)))
-    return a[idx], b[idx]
+    if c is None:
+        return a[idx], b[idx]
+    starts = idx
+    return a[idx], b[idx], np.add.reduceat(c[order], starts)
 
 
-def _segment_pairs(codes, vals, blk, i, j):
-    """Emit the cross-block (i != j) or within-block (i == j) pairs of
-    every bucket segment. `codes` must be the primary sort key and `vals`
-    (doc ids) the secondary, pre-sorted ascending. Returns (a, b) with
-    a < b element-wise."""
+_ACC_CHUNK = 16_000_000
+
+
+class _PairAccumulator:
+    """Bounded-memory pair collector for one block-pair task: raw pair
+    chunks consolidate into a sorted unique (pair[, count]) set every
+    _ACC_CHUNK emissions, so the task never holds the full O(sum d^2)
+    multiset — only its distinct pairs plus one chunk. At bench scale a
+    task fits in one chunk and this is exactly the old single lexsort;
+    the consolidation path exists for cap-sized buckets at 10-100x SFs,
+    where the raw multiset (but not the distinct set) outgrows a Python
+    worker."""
+
+    def __init__(self, counts: bool, chunk: int = _ACC_CHUNK):
+        self.counts = counts
+        self.chunk = chunk
+        self._bufs: list = []
+        self._n = 0
+        self._cons = None  # (a, b[, c]) sorted unique
+
+    def add(self, a, b) -> None:
+        if len(a) == 0:
+            return
+        self._bufs.append((a, b))
+        self._n += len(a)
+        if self._n >= self.chunk:
+            self._flush()
+
+    def _flush(self) -> None:
+        import numpy as np
+
+        if not self._bufs:
+            return
+        a = np.concatenate([x for x, _ in self._bufs])
+        b = np.concatenate([y for _, y in self._bufs])
+        self._bufs, self._n = [], 0
+        if self.counts:
+            u = _dedup_sorted_pairs(a, b, np.ones(len(a), dtype=np.int64))
+        else:
+            u = _dedup_sorted_pairs(a, b)
+        if self._cons is None:
+            self._cons = u
+        elif self.counts:
+            ca = np.concatenate((self._cons[0], u[0]))
+            cb = np.concatenate((self._cons[1], u[1]))
+            cc = np.concatenate((self._cons[2], u[2]))
+            self._cons = _dedup_sorted_pairs(ca, cb, cc)
+        else:
+            ca = np.concatenate((self._cons[0], u[0]))
+            cb = np.concatenate((self._cons[1], u[1]))
+            self._cons = _dedup_sorted_pairs(ca, cb)
+
+    def result(self):
+        """(a, b[, cnt]) sorted unique, or None if nothing was added."""
+        self._flush()
+        return self._cons
+
+
+def _segment_pairs(codes, vals, blk, i, j, acc: "_PairAccumulator") -> None:
+    """Feed the cross-block (i != j) or within-block (i == j) pairs of
+    every bucket segment into `acc`. `codes` must be the primary sort key
+    and `vals` (doc ids) the secondary, pre-sorted ascending; emitted
+    pairs have a < b element-wise."""
     import numpy as np
 
-    acc_a, acc_b = [], []
     bounds = np.flatnonzero(codes[1:] != codes[:-1]) + 1
     starts = np.concatenate(([0], bounds))
     ends = np.concatenate((bounds, [len(codes)]))
@@ -148,8 +207,7 @@ def _segment_pairs(codes, vals, blk, i, j):
         v = vals[s:e]
         if i == j:
             iu, ju = np.triu_indices(len(v), 1)
-            acc_a.append(v[iu])  # v ascending -> a < b
-            acc_b.append(v[ju])
+            acc.add(v[iu], v[ju])  # v ascending -> a < b
         else:
             side = blk[s:e]
             left = v[side == i]
@@ -158,11 +216,7 @@ def _segment_pairs(codes, vals, blk, i, j):
                 continue
             la = np.repeat(left, len(right))
             rb = np.tile(right, len(left))
-            acc_a.append(np.minimum(la, rb))
-            acc_b.append(np.maximum(la, rb))
-    if not acc_a:
-        return None, None
-    return np.concatenate(acc_a), np.concatenate(acc_b)
+            acc.add(np.minimum(la, rb), np.maximum(la, rb))
 
 
 def exact_duplicates(documents: DataFrame, id_col: str = "doc_id",
@@ -334,11 +388,12 @@ def lsh_candidate_pairs(
                 g["band_id"].astype(str) + "|" + g["band_hash"]
             )[0]
             order = np.lexsort((vals, codes))
-            a, b = _segment_pairs(codes[order], vals[order], blk[order], i, j)
-            if a is None:
+            acc = _PairAccumulator(counts=False)
+            _segment_pairs(codes[order], vals[order], blk[order], i, j, acc)
+            res = acc.result()
+            if res is None:
                 return None
-            a, b = _dedup_sorted_pairs(a, b)
-            return pd.DataFrame({"doc_a": a, "doc_b": b})
+            return pd.DataFrame({"doc_a": res[0], "doc_b": res[1]})
 
         t = elem.simpleString()
         return rep.repartition(2 * nb * nb, "pid").mapInPandas(
@@ -711,10 +766,12 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5
             vals = ids[doc_pos]
             blk = blk_doc[doc_pos]
             order = np.lexsort((vals, gid))
-            a, b = _segment_pairs(gid[order], vals[order], blk[order], i, j)
-            if a is None:
+            acc = _PairAccumulator(counts=True)
+            _segment_pairs(gid[order], vals[order], blk[order], i, j, acc)
+            res = acc.result()
+            if res is None:
                 return None
-            a, b, c = _dedup_sorted_pairs(a, b, counts=True)
+            a, b, c = res
             sid = np.argsort(ids)
             ids_sorted, n_sorted = ids[sid], lens[sid]
             n_a = n_sorted[np.searchsorted(ids_sorted, a)]

@@ -140,6 +140,25 @@ def test_ngram_block_kernel_df_cap(spark):
     assert capped != uncapped
 
 
+def test_pair_accumulator_chunked_equals_single_flush():
+    """The bounded-memory consolidation path (chunk smaller than the
+    emission volume -> several flush+merge rounds) must produce the exact
+    unique pair set / counts of one big lexsort."""
+    from refined_spark.operators.dedup import _PairAccumulator
+
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 50, size=20_000).astype(np.int64)
+    b = rng.randint(0, 50, size=20_000).astype(np.int64)
+    for counts in (False, True):
+        one = _PairAccumulator(counts=counts, chunk=10**9)
+        one.add(a, b)
+        many = _PairAccumulator(counts=counts, chunk=1_000)
+        for i in range(0, len(a), 777):
+            many.add(a[i:i + 777], b[i:i + 777])
+        r1, r2 = one.result(), many.result()
+        assert all(np.array_equal(x, y) for x, y in zip(r1, r2)), counts
+
+
 def test_round6_half_up_matches_spark_round(spark):
     from refined_spark.functions.similarity import round6_half_up
 
