@@ -333,10 +333,15 @@ def lsh_candidate_pairs(
     an Observation/QueryExecution listener (the A9 telemetry channel;
     tests read it directly).
 
-    Plan: one aggregation to per-bucket sorted doc posting lists, pairs
-    emitted JVM-side from each list (same shape as ngram_jaccard_pairs —
-    no inverted-index self-join), then one distinct. bucket_cap doubles as
-    the pair-explosion bound: every posting list is <= cap long."""
+    Plan (integral doc ids, round 6): global bucket-size aggregate (the
+    cap and >=2 filters need global membership) -> surviving banded rows
+    replicate to their B block-pair tasks -> each task emits and dedups
+    its share of every bucket's pairs locally in numpy (see the
+    block-pair header comment above) — nothing pair-shaped is shuffled
+    and a near-cap bucket's O(d^2) splits across all tasks. Non-integral
+    ids keep the posting-list plan: per-bucket sorted doc lists, pairs
+    emitted JVM-side (ordered_pairs_col), then one distinct. bucket_cap
+    bounds the per-bucket pair explosion on both paths."""
     from refined_spark.functions.hashing import band_hashes_col
 
     import numpy as np
@@ -690,19 +695,17 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.5
     boilerplate phrase shared by d docs would otherwise force O(d^2) work
     AND dominate the similarity of unrelated docs). df_cap=None keeps all.
 
-    Plan — one aggregation chain, NO inverted-index self-join:
-      1. explode distinct grams, groupBy(gram) -> sorted posting list
-         (one shuffle on the gram key; df_cap bounds every list);
-      2. emit (ds[i], ds[j]) i<j pairs from each list JVM-side
-         (transform+slice+flatten — no lateral self-join, no pair
-         re-association by key) and count rows per pair: that count IS
-         |A ∩ B| — the per-pair array_intersect of the old plan is gone;
-      3. per-doc set sizes come from re-exploding the capped postings
-         (one small aggregate), so |A ∪ B| = n_a + n_b - n_common.
-    The old plan shuffled the inverted index twice (self-join), dedup'd
-    the quadratic pair set, then joined the FULL gram arrays back to every
-    pair and ran array_intersect+array_union per pair: ~8x slower at sf0.1
-    and each of those steps scales worse than its replacement at 100 TB."""
+    Plan (integral doc ids, round 6): explode distinct grams,
+    groupBy(gram) -> capped posting lists (one shuffle on the gram key),
+    re-assemble per-doc CAPPED gram-id arrays, replicate them to their B
+    block-pair tasks, and let each task build its local inverted index
+    in numpy, count its share of the pair multiset (sum over tasks ==
+    the global count) and apply the Jaccard filter task-locally —
+    n_a/n_b are array lengths, so no size joins and no pair-shaped
+    shuffle (block-pair header comment above). Non-integral ids keep the
+    round-3 posting-list plan: JVM pair emission + global count + two
+    size joins. Both superseded the round-2 inverted-index self-join
+    (which re-ran array_intersect per pair; ~8x slower at sf0.1)."""
     from refined_spark.functions.hashing import (
         split_tokens_col,
         token_shingles_from_tokens_col,
