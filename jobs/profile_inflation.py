@@ -73,7 +73,10 @@ def proc_class_cpu() -> dict[str, float]:
     """Cumulative (utime+stime) CPU seconds by process class: the Spark
     JVM ('java') vs the pyspark daemon/workers ('python'). Machine-wide
     scan is fine — the profiler owns the box. Splits each stage's busy
-    CPU into JVM-side vs Python-worker-side inflation."""
+    CPU into JVM-side vs Python-worker-side inflation. The split is
+    approximate across worker restarts: the counters are cumulative
+    per-PID, so a worker exiting between two snapshots takes its CPU
+    with it and the raw delta can go negative — callers clamp at 0."""
     tck = os.sysconf("SC_CLK_TCK")
     out = {"java": 0.0, "python": 0.0}
     for pid in os.listdir("/proc"):
@@ -186,8 +189,8 @@ def main() -> None:
                 "busy_cpu_s": round(b1 - b0, 1),
                 "sys_cpu_s": round(s1 - s0, 1),
                 "gc_s": round(g1 - g0, 1),
-                "jvm_cpu_s": round(c1["java"] - c0["java"], 1),
-                "py_cpu_s": round(c1["python"] - c0["python"], 1),
+                "jvm_cpu_s": round(max(0.0, c1["java"] - c0["java"]), 1),
+                "py_cpu_s": round(max(0.0, c1["python"] - c0["python"]), 1),
                 "steal_cores": round((_cpu_steal_seconds() - st0) / dt, 2),
                 "cal_mbps_before": cal0,
                 "cal_mbps_after": calibrate_cpu(),

@@ -32,6 +32,13 @@ def main() -> None:
                   "sys_cores"):
             prev[k] = prev.get(k, []) + r.get(k, [])
         if r["sec"] < prev["sec"]:
+            # the CPU columns must come from the SAME sample as the best
+            # sec: when the new minimum is an old-format record without
+            # best_* keys, drop the stale pairing instead of publishing
+            # busy*sec computed from mismatched samples
+            for k in ("best_busy_cores", "best_sys_cores"):
+                if k not in r:
+                    prev.pop(k, None)
             prev.update({k: r[k] for k in
                          ("sec", "items_per_sec", "best_busy_cores",
                           "best_sys_cores") if k in r})
